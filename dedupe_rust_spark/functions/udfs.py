@@ -1,0 +1,74 @@
+"""Arrow pandas UDFs — the ONLY Python that touches row data at runtime.
+
+Exactly three UDF families (SURVEY.md §2.1), everything else is built-in
+Catalyst expressions:
+  * extract_text_udf : html binary -> text        (parity-critical, G3/D3)
+  * signatures_udf   : text -> (simhash, minhash) (H1 generalization)
+  * score_pairs_udf  : (text_a, text_b) -> (jw, lev_sim, jaccard) (D1/D2)
+
+All are Series-scalar UDFs over Arrow batches; the inner loops are the
+numpy-vectorized cores in textcore / sigcore / scorecore.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from . import scorecore, sigcore, textcore
+from ..schemas import SCORE_UDF_RESULT, SIG_UDF_RESULT
+
+_I64 = np.uint64(1) << np.uint64(63)
+
+
+def _to_i64(u: int) -> int:
+    """Reinterpret uint64 as int64 (Spark LongType is signed)."""
+    return int(np.uint64(u).astype(np.int64))
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: textcore.extract_text(None if b is None else bytes(b)))
+
+
+@pandas_udf(SIG_UDF_RESULT)
+def signatures_udf(text: pd.Series) -> pd.DataFrame:
+    simhashes: list[int | None] = []
+    minhashes: list[list[int] | None] = []
+    for t in text:
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            simhashes.append(None)
+            minhashes.append(None)
+            continue
+        simhashes.append(_to_i64(sigcore.simhash64(t)))
+        sig = sigcore.minhash(t)
+        minhashes.append([int(v) for v in sig.astype(np.int64)])
+    return pd.DataFrame({"simhash": simhashes, "minhash": minhashes})
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def band_keys_udf(minhash: pd.Series) -> pd.Series:
+    """minhash array -> 32 LSH band bucket keys (int64)."""
+
+    def _bands(sig):
+        if sig is None:
+            return None
+        arr = np.asarray(sig, dtype=np.int64).astype(np.uint64)
+        return [_to_i64(k) for k in sigcore.band_keys(arr)]
+
+    return minhash.map(_bands)
+
+
+@pandas_udf(SCORE_UDF_RESULT)
+def score_pairs_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
+    jw = np.empty(len(text_a))
+    lev = np.empty(len(text_a))
+    jac = np.empty(len(text_a))
+    for i, (a, b) in enumerate(zip(text_a, text_b)):
+        if not isinstance(a, str) or not isinstance(b, str):
+            jw[i] = lev[i] = jac[i] = 0.0
+            continue
+        jw[i], lev[i], jac[i] = scorecore.score_pair(a, b)
+    return pd.DataFrame({"jaro_winkler": jw, "lev_sim": lev, "jaccard": jac})

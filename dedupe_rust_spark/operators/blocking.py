@@ -1,0 +1,103 @@
+"""Blocking: exact-key + MinHash-LSH band keys, with hot-block control.
+
+Reference analog: grouping by (ext, width, height) then by cheap hash
+(/root/reference/src/main.rs:365-435, 488-498). Generalized per the north
+rule to LSH banding over MinHash signatures plus exact-signature keys.
+
+Scale design (100 TB):
+  * Exact duplicates are collapsed BEFORE fuzzy blocking: one representative
+    per text_sha256 enters LSH. A boilerplate page copied 10^6 times would
+    otherwise explode one band bucket into 10^12 candidate pairs; after
+    collapse it is ONE row. This mirrors the reference's cascade (cheap
+    equality before expensive compare) and is the single biggest pair-count
+    lever.
+  * Remaining oversized blocks (distinct texts sharing a band, power-law
+    boilerplate) are capped at max_block_size with a deterministic keep-set
+    (lowest urls) and the overflow is COUNTED, never silently dropped —
+    callers read `blocks_capped` metrics. Near-dup recall for capped blocks
+    is preserved by the other 31 bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.udfs import band_keys_udf
+
+DEFAULT_MAX_BLOCK = 512
+
+
+def exact_representatives(sig: DataFrame) -> DataFrame:
+    """One row per distinct text_sha256 (min url wins — deterministic)."""
+    w = Window.partitionBy("text_sha256").orderBy("url")
+    return (
+        sig.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_edges(sig: DataFrame) -> DataFrame:
+    """Star edges url -> min(url) within each identical-text group.
+
+    Equality is transitive so a star is enough for CC — the reference
+    relies on the same property (groups ARE clusters, main.rs:616-624).
+    """
+    w = Window.partitionBy("text_sha256")
+    return (
+        sig.withColumn("_root", F.min("url").over(w))
+        .filter(F.col("url") != F.col("_root"))
+        .select(F.col("_root").alias("src"), F.col("url").alias("dst"))
+    )
+
+
+def lsh_blocks(reps: DataFrame) -> DataFrame:
+    """Explode LSH band keys -> (block_key, url). block_key is
+    'band_index:band_hash' so different bands never collide."""
+    bands = reps.select(
+        "url",
+        F.posexplode(band_keys_udf(F.col("minhash"))).alias("band_id", "band_hash"),
+    )
+    return bands.select(
+        F.concat_ws(":", F.col("band_id"), F.col("band_hash")).alias("block_key"),
+        "url",
+    )
+
+
+def title_blocks(reps: DataFrame) -> DataFrame:
+    """Exact key on (host, first text line): near-dups overwhelmingly share
+    their title, and LSH recall sags near the decision boundary. Analog of
+    the reference's secondary exact key (ext within dimension groups,
+    main.rs:376). All built-in expressions — stays in codegen."""
+    first_line = F.substring_index(F.col("text"), "\n", 1)
+    return reps.select(
+        F.concat_ws(":", F.lit("T"),
+                    F.xxhash64(F.col("host"), first_line).cast("string")
+                    ).alias("block_key"),
+        "url",
+    )
+
+
+def all_blocks(reps: DataFrame) -> DataFrame:
+    """Union of LSH band keys and host+title exact keys (UNION set op,
+    SURVEY.md §2.1); candidate dedup happens after the self-join."""
+    return lsh_blocks(reps).unionByName(title_blocks(reps))
+
+
+def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Drop singleton blocks (HAVING count>1, reference main.rs:418-421) and
+    cap oversized ones. Returns (pruned_blocks, cap_metrics)."""
+    w = Window.partitionBy("block_key")
+    sized = blocks.withColumn("_sz", F.count("*").over(w))
+    multi = sized.filter(F.col("_sz") > 1)
+    wo = Window.partitionBy("block_key").orderBy("url")
+    ranked = multi.withColumn("_rk", F.row_number().over(wo))
+    kept = ranked.filter(F.col("_rk") <= max_block).select("block_key", "url")
+    cap_metrics = (
+        ranked.filter(F.col("_sz") > max_block)
+        .groupBy("block_key")
+        .agg(F.max("_sz").alias("block_size"),
+             F.lit(max_block).alias("kept"))
+    )
+    return kept, cap_metrics

@@ -1,0 +1,57 @@
+"""Candidate pair generation: block self-join (reference analog B1).
+
+The reference's group-by-hash is the degenerate form of this equi
+self-join (/root/reference/src/main.rs:488-498). `url_a < url_b` removes
+the diagonal and symmetric pairs; dropDuplicates collapses pairs found by
+multiple bands (UNION+DISTINCT, SURVEY.md §2.1 set ops).
+
+Scale: the join shuffles on block_key; AQE skew-join splits hot keys.
+An optional SimHash prefilter (hamming <= threshold via xor+bit_count,
+all JVM-side) cheaply kills low-similarity pairs before pandas scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SIMHASH_HAMMING_MAX = 24
+# SimHash over few shingles is high-variance: a single edit in a short doc
+# flips many bits. Pairs where either text is shorter than this bypass the
+# prefilter and go straight to exact scoring.
+SHORT_TEXT_BYPASS = 300
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            "block_key",
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+
+
+def simhash_prefilter(pairs: DataFrame, sig: DataFrame,
+                      max_hamming: int = SIMHASH_HAMMING_MAX,
+                      short_bypass: int = SHORT_TEXT_BYPASS) -> DataFrame:
+    """Join simhashes onto pairs and keep hamming(sim_a, sim_b) <= max.
+    bit_count(a XOR b) is a codegen'd JVM expression — no Python.
+    Short texts bypass the filter (see SHORT_TEXT_BYPASS)."""
+    sh = sig.select("url", "simhash", "n_chars")
+    out = (
+        pairs
+        .join(sh.withColumnsRenamed(
+            {"url": "url_a", "simhash": "_sa", "n_chars": "_na"}), "url_a")
+        .join(sh.withColumnsRenamed(
+            {"url": "url_b", "simhash": "_sb", "n_chars": "_nb"}), "url_b")
+        .withColumn("_ham", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter((F.col("_ham") <= max_hamming)
+                | (F.least("_na", "_nb") < short_bypass))
+        .drop("_sa", "_sb", "_ham", "_na", "_nb")
+    )
+    return out

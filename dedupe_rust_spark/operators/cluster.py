@@ -1,0 +1,79 @@
+"""Connected components over the match-edge DataFrame (north-rule C1).
+
+The reference never needs CC: hash-equality matching is transitive, so
+groups are clusters (/root/reference/src/main.rs:616-624). Fuzzy matching
+breaks transitivity, hence transitive closure here.
+
+Algorithm: hash-to-min label propagation with pointer jumping —
+each round every node takes min(own label, neighbors' labels), then labels
+chase their own label's label (doubling). Converges in O(log d) rounds for
+diameter d; dedup clusters are near-cliques so 2-4 rounds in practice.
+`localCheckpoint()` per round truncates lineage (SURVEY.md §4.3.2); the
+convergence check is a changed-label count.
+
+No GraphFrames dependency — plain joins + groupBy, shuffle-partitioned on
+the node key throughout so successive rounds reuse the hash partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src,dst) -> labels(url, cluster_id), cluster_id = min member.
+
+    Only nodes that appear in an edge are returned (singletons are added by
+    the caller if desired).
+    """
+    sym = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .union(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # 1. neighbor-min: candidate label for each node from its neighbors
+        nbr_labels = (
+            sym.join(labels, on="node")
+            .select(F.col("nbr").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # 2. pointer jumping: label <- label(label) when it exists
+        lab2 = new_labels.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        jumped = (
+            new_labels.join(lab2, on="label", how="left")
+            .select("node", F.coalesce("label2", "label").alias("label"))
+        )
+        jumped = jumped.localCheckpoint()
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("url"), F.col("label").alias("cluster_id"))
+
+
+def clusters_with_members(labels: DataFrame) -> DataFrame:
+    """clusters report rows: (cluster_id, urls sorted, n) — reference
+    output analog (DuplicateGroup, main.rs:38-42; sorted members 630)."""
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.sort_array(F.collect_list("url")).alias("urls"),
+             F.count("*").alias("n"))
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,172 @@
+"""End-to-end dedup pipeline: staged DataFrames with checkpointed outputs,
+per-partition lineage metrics, and resume-by-run_id.
+
+Stage graph (SURVEY.md §3.3):
+  read pages -> extract+signatures [ckpt] -> exact edges
+             -> lsh blocks -> candidate pairs [ckpt] -> scores [ckpt]
+             -> edges (fuzzy ∪ exact) -> connected components -> clusters [ckpt]
+             -> metrics [append]
+
+Each checkpoint is a parquet dir `out/<stage>/run_id=<R>/` (Iceberg-style
+partition layout; no Iceberg runtime jar in this sandbox — swap the writer
+format on a cluster that has one). A stage whose output dir has _SUCCESS is
+SKIPPED on rerun with the same run_id: that is the resumability contract
+(north rule), tested in tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import ALGO_VERSION
+from ..operators import blocking, candidates as cand, cluster, scoring, signatures as sigs
+from ..sources.pages import clean_pages, read_pages
+
+
+@dataclass
+class PipelineConfig:
+    lev_match: float = scoring.LEV_MATCH
+    jaccard_match: float = scoring.JACCARD_MATCH
+    max_block: int = blocking.DEFAULT_MAX_BLOCK
+    simhash_prefilter: bool = True
+    max_hamming: int = cand.SIMHASH_HAMMING_MAX
+    use_golden_text: bool = False
+    exclude_hosts: list[str] = field(default_factory=list)
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, pages_dir: str,
+                 out_dir: str | None = None, run_id: str | None = None,
+                 config: PipelineConfig | None = None):
+        self.spark = spark
+        self.pages_dir = pages_dir
+        self.out_dir = out_dir
+        self.run_id = run_id or f"v{ALGO_VERSION}"
+        self.cfg = config or PipelineConfig()
+        self.stage_metrics: list[dict] = []
+
+    # ------------------------------------------------------------ checkpoints
+    def _ckpt_path(self, stage: str) -> str | None:
+        if self.out_dir is None:
+            return None
+        return os.path.join(self.out_dir, stage, f"run_id={self.run_id}")
+
+    def _checkpoint(self, df: DataFrame, stage: str) -> DataFrame:
+        """Write stage output and read it back (cuts lineage + resumable).
+        Without out_dir, fall back to localCheckpoint (tests/bench)."""
+        path = self._ckpt_path(stage)
+        t0 = time.monotonic()
+        if path is None:
+            out = df.localCheckpoint()
+            n = out.count()
+            resumed = False
+        else:
+            resumed = os.path.exists(os.path.join(path, "_SUCCESS"))
+            if not resumed:
+                df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            n = out.count()
+        self.stage_metrics.append(
+            {"stage": stage, "rows_out": n,
+             "wall_ms": int((time.monotonic() - t0) * 1000),
+             "run_id": self.run_id, "resumed": resumed}
+        )
+        return out
+
+    def _stage_done(self, stage: str) -> bool:
+        path = self._ckpt_path(stage)
+        return bool(path) and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def _read_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._ckpt_path(stage))
+
+    # ---------------------------------------------------------------- stages
+    def signatures(self) -> DataFrame:
+        if self._stage_done("signatures"):
+            df = self._read_stage("signatures")
+            self.stage_metrics.append({"stage": "signatures", "resumed": True,
+                                       "rows_out": df.count(), "wall_ms": 0,
+                                       "run_id": self.run_id})
+            return df
+        pages = clean_pages(read_pages(self.spark, self.pages_dir),
+                            self.cfg.exclude_hosts)
+        extracted = sigs.extract(pages, self.cfg.use_golden_text)
+        sig = sigs.signatures(extracted)
+        return self._checkpoint(sig, "signatures")
+
+    def run(self) -> DataFrame:
+        """Full pipeline; returns clusters(url, cluster_id), clustered rows only."""
+        t_all = time.monotonic()
+        sig = self.signatures()
+
+        # per-partition lineage for the extract stage (north rule): rows per
+        # partition + drop accounting, written into metrics
+        self._partition_lineage(sig, "signatures")
+
+        ex_edges = blocking.exact_edges(sig)
+        reps = blocking.exact_representatives(sig)
+        blocks = blocking.all_blocks(reps)
+        pruned, cap_metrics = blocking.prune_blocks(blocks, self.cfg.max_block)
+        n_capped = cap_metrics.count()
+        if n_capped:
+            self.stage_metrics.append({"stage": "blocks_capped",
+                                       "rows_out": n_capped,
+                                       "run_id": self.run_id, "wall_ms": 0})
+
+        pairs = cand.candidate_pairs(pruned)
+        if self.cfg.simhash_prefilter:
+            pairs = cand.simhash_prefilter(pairs, sig, self.cfg.max_hamming)
+        pairs = self._checkpoint(pairs, "candidates")
+
+        scores = scoring.score_candidates(pairs, sig, self.cfg.lev_match,
+                                          self.cfg.jaccard_match)
+        scores = self._checkpoint(scores, "scores")
+
+        # F1-floor guard (SURVEY.md §7 hard part e): exact edges are ALWAYS
+        # unioned in — the fuzzy tier can only add, never lose, exact dups.
+        edges = scoring.match_edges(scores).unionByName(ex_edges).distinct()
+        labels = cluster.connected_components(edges)
+        clusters = self._checkpoint(labels, "clusters")
+
+        self.stage_metrics.append(
+            {"stage": "pipeline", "rows_out": clusters.count(),
+             "wall_ms": int((time.monotonic() - t_all) * 1000),
+             "run_id": self.run_id})
+        self._write_metrics()
+        return clusters
+
+    # --------------------------------------------------------------- metrics
+    def _partition_lineage(self, df: DataFrame, stage: str) -> None:
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        for r in rows:
+            self.stage_metrics.append(
+                {"stage": f"{stage}.partition", "partition_id": r["partition_id"],
+                 "rows_out": r["count"], "run_id": self.run_id})
+
+    def _write_metrics(self) -> None:
+        if self.out_dir is None:
+            return
+        path = os.path.join(self.out_dir, "metrics", f"run_id={self.run_id}")
+        rows = [
+            (
+                self.run_id,
+                m.get("stage", ""),
+                int(m.get("partition_id", -1)),
+                int(m.get("rows_out", -1)),
+                int(m.get("wall_ms", -1)),
+            )
+            for m in self.stage_metrics
+        ]
+        mdf = self.spark.createDataFrame(
+            rows, "run_id string, stage string, partition_id int, "
+                  "rows_out long, wall_ms long"
+        ).withColumn("ts", F.current_timestamp())
+        mdf.write.mode("append").parquet(path)

@@ -1,0 +1,102 @@
+"""Declared StructTypes for every stage table (SURVEY.md §1.2).
+
+Fixed, explicit schemas — no inference — because byte-identical parity
+and cross-engine (DuckDB oracle) comparison demand exact types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+SIGNATURES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("text_sha256", T.StringType(), True),
+        T.StructField("prefix_hash", T.LongType(), True),
+        T.StructField("simhash", T.LongType(), True),
+        T.StructField("minhash", T.ArrayType(T.LongType()), True),
+        T.StructField("n_chars", T.IntegerType(), True),
+    ]
+)
+
+SIG_UDF_RESULT = T.StructType(
+    [
+        T.StructField("simhash", T.LongType(), True),
+        T.StructField("minhash", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+BLOCKS = T.StructType(
+    [
+        T.StructField("block_key", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+CANDIDATES = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("block_key", T.StringType(), False),
+    ]
+)
+
+SCORES = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("jaro_winkler", T.DoubleType(), True),
+        T.StructField("lev_sim", T.DoubleType(), True),
+        T.StructField("jaccard", T.DoubleType(), True),
+        T.StructField("is_match", T.BooleanType(), True),
+    ]
+)
+
+SCORE_UDF_RESULT = T.StructType(
+    [
+        T.StructField("jaro_winkler", T.DoubleType(), True),
+        T.StructField("lev_sim", T.DoubleType(), True),
+        T.StructField("jaccard", T.DoubleType(), True),
+    ]
+)
+
+CLUSTERS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("cluster_id", T.StringType(), False),
+    ]
+)
+
+LABELED_PAIRS = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("is_dup", T.BooleanType(), False),
+        T.StructField("tier", T.StringType(), False),
+    ]
+)
+
+METRICS = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_out", T.LongType(), True),
+        T.StructField("dropped", T.LongType(), True),
+        T.StructField("wall_ms", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)

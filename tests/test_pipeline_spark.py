@@ -1,0 +1,173 @@
+"""End-to-end Spark pipeline tests (SURVEY.md §5.2: oracle, golden,
+property, parity). Session-scoped SparkSession, tiny (sf0.001) pages."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_rust_spark.functions.ccore import connected_components as uf_cc
+from dedupe_rust_spark.functions.textcore import extract_text
+from dedupe_rust_spark.operators import blocking, candidates as cand, cluster, scoring
+from dedupe_rust_spark.operators.signatures import extract, signatures
+from dedupe_rust_spark.plans.pipeline import DedupPipeline
+from dedupe_rust_spark.sources.pages import clean_pages, read_labeled_pairs, read_pages
+
+
+@pytest.fixture(scope="module")
+def clusters(spark, tiny_pages_dir):
+    pipe = DedupPipeline(spark, tiny_pages_dir)
+    return pipe.run().cache()
+
+
+@pytest.fixture(scope="module")
+def sig(spark, tiny_pages_dir):
+    pages = clean_pages(read_pages(spark, tiny_pages_dir))
+    return signatures(extract(pages)).cache()
+
+
+# ------------------------------------------------------------------ parity
+def test_extraction_parity_byte_identical(spark, tiny_pages_dir):
+    """UDF-extracted text equals the golden `text` column byte-for-byte
+    (the BASELINE.json per-row invariant)."""
+    pages = read_pages(spark, tiny_pages_dir)
+    got = extract(pages.drop("text")).select("url", "text")
+    golden = pages.select("url", F.col("text").alias("golden"))
+    diff = got.join(golden, "url").filter(
+        ~F.col("text").eqNullSafe(F.col("golden"))
+    )
+    assert diff.count() == 0
+
+
+def test_extraction_parity_python_vs_spark(spark, tiny_pages_dir):
+    """Driver-side pure-Python extraction agrees with the Spark UDF."""
+    pages = read_pages(spark, tiny_pages_dir).limit(200).toPandas()
+    for r in pages.itertuples():
+        raw = None if r.html is None else bytes(r.html)
+        expect = None if (not isinstance(r.text, str)) else r.text
+        assert extract_text(raw) == expect
+
+
+# ---------------------------------------------------------------- oracle
+def test_exact_clusters_match_bruteforce(spark, sig):
+    """Equality-grouping == full O(n^2) pairwise equality (the transitivity
+    property the reference relies on, main.rs:616-624)."""
+    local = sig.select("url", "text_sha256").toPandas()
+    by_hash: dict[str, list[str]] = {}
+    for r in local.itertuples():
+        by_hash.setdefault(r.text_sha256, []).append(r.url)
+    expect_groups = sorted(
+        tuple(sorted(v)) for v in by_hash.values() if len(v) > 1
+    )
+    got = (
+        blocking.exact_edges(sig)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("members"))
+        .toPandas()
+    )
+    got_groups = sorted(
+        tuple(sorted([r.src] + list(r.members))) for r in got.itertuples()
+    )
+    assert got_groups == expect_groups
+
+
+def test_f1_on_labeled_pairs(spark, tiny_pages_dir, clusters):
+    """The headline gate: pairwise F1 >= 0.99 (BASELINE.md)."""
+    pairs = read_labeled_pairs(spark, tiny_pages_dir)
+    pred = (
+        pairs
+        .join(clusters.withColumnsRenamed({"url": "url_a", "cluster_id": "ca"}),
+              "url_a", "left")
+        .join(clusters.withColumnsRenamed({"url": "url_b", "cluster_id": "cb"}),
+              "url_b", "left")
+        .withColumn("pred", F.coalesce(
+            F.col("ca").isNotNull() & (F.col("ca") == F.col("cb")), F.lit(False)))
+    )
+    tp = pred.filter("is_dup and pred").count()
+    fp = pred.filter("not is_dup and pred").count()
+    fn = pred.filter("is_dup and not pred").count()
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, (precision, recall, f1)
+    # exact tier must be perfect (F1-floor guard, SURVEY.md §7e)
+    assert pred.filter("tier = 'exact' and is_dup and not pred").count() == 0
+
+
+# -------------------------------------------------------------- properties
+def test_partition_invariance(spark, sig):
+    """Same clusters under different partitioning (FIXTURES.md §5.2.4)."""
+    edges = blocking.exact_edges(sig)
+    c2 = cluster.connected_components(edges.repartition(2))
+    c32 = cluster.connected_components(edges.repartition(32))
+    assert c2.exceptAll(c32).count() == 0 and c32.exceptAll(c2).count() == 0
+
+
+def test_cross_host_exact_copies_cluster(spark, sig, clusters):
+    """Exact copies on different hosts still cluster (host NOT in the
+    block key for the exact tier)."""
+    multi = (
+        sig.groupBy("text_sha256")
+        .agg(F.countDistinct("host").alias("nh"), F.collect_list("url").alias("urls"))
+        .filter((F.col("nh") > 1))
+        .limit(5)
+        .toPandas()
+    )
+    assert len(multi) > 0, "generator should produce cross-host exact copies"
+    cl = {r.url: r.cluster_id for r in clusters.toPandas().itertuples()}
+    for row in multi.itertuples():
+        ids = {cl.get(u) for u in row.urls}
+        assert len(ids) == 1 and None not in ids, row.urls
+
+
+def test_adversarial_same_title_not_clustered(spark, tiny_pages_dir, clusters):
+    pairs = read_labeled_pairs(spark, tiny_pages_dir)
+    adv = pairs.filter("tier = 'negative'")
+    joined = (
+        adv.join(clusters.withColumnsRenamed({"url": "url_a", "cluster_id": "ca"}),
+                 "url_a", "left")
+        .join(clusters.withColumnsRenamed({"url": "url_b", "cluster_id": "cb"}),
+              "url_b", "left")
+        .filter(F.col("ca").isNotNull() & (F.col("ca") == F.col("cb")))
+    )
+    # <=1% of negatives may collide via transitive closure at the boundary
+    assert joined.count() <= max(1, int(0.01 * adv.count()))
+
+
+def test_spark_cc_matches_unionfind(spark):
+    import random
+
+    rng = random.Random(13)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edge_list = sorted({(min(a, b), max(a, b))
+                        for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                                     for _ in range(100)) if a != b})
+    expect = uf_cc(edge_list)
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.url: r.cluster_id
+           for r in cluster.connected_components(edges).collect()}
+    assert got == expect
+
+
+def test_blocks_capped_not_silent(spark, sig):
+    reps = blocking.exact_representatives(sig)
+    blocks = blocking.all_blocks(reps)
+    kept, cap_metrics = blocking.prune_blocks(blocks, max_block=2)
+    # with a tiny cap, caps MUST be reported
+    assert cap_metrics.count() > 0
+    sizes = kept.groupBy("block_key").count().agg(F.max("count")).first()[0]
+    assert sizes <= 2
+
+
+# ------------------------------------------------------------------ resume
+def test_resume_skips_completed_stages(spark, tiny_pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    p1 = DedupPipeline(spark, tiny_pages_dir, out_dir=out, run_id="R1")
+    c1 = p1.run().toPandas().sort_values("url").reset_index(drop=True)
+    p2 = DedupPipeline(spark, tiny_pages_dir, out_dir=out, run_id="R1")
+    c2 = p2.run().toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)
+    resumed = [m for m in p2.stage_metrics if m.get("resumed")]
+    assert any(m["stage"] == "signatures" for m in resumed)
+    assert any(m["stage"] == "candidates" for m in resumed)
