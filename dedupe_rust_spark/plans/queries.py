@@ -1,0 +1,449 @@
+"""Driver-facing query catalog: each query exists twice — as a Spark
+DataFrame program and (where ANSI-SQL-expressible) as a DuckDB oracle SQL
+string over the same parquet tables. Column names/types are aligned so the
+driver's order-insensitive value-hash comparison passes.
+
+Queries operate on the driver's read-only tables (documents, embeddings,
+lineitem, orders, customer ...). Dedup queries run over `dpages`, a
+dup-injected page table derived from `documents` with engine-portable SQL
+expressions only (identical rows in Spark and DuckDB by construction):
+  * every doc            -> canonical url on hostNN.example.com
+  * doc_id % 7 == 0      -> exact copy on mirror.example.org
+  * doc_id % 11 == 0     -> exact copy on archive.example.net
+so exact-dup clusters exist and span hosts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# dup-injected pages: Spark + SQL twins
+# ---------------------------------------------------------------------------
+
+_DPAGES_SQL = """
+    SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+           || '.example.com/doc-' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+           text, lang, doc_id
+    FROM documents
+    UNION ALL
+    SELECT 'https://mirror.example.org/copy-' || CAST(doc_id AS VARCHAR)
+           || '.html' AS url, text, lang, doc_id
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'https://archive.example.net/a-' || CAST(doc_id AS VARCHAR)
+           || '.html' AS url, text, lang, doc_id
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def dpages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/doc-"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        "text", "lang", "doc_id",
+    )
+    mirror = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("https://mirror.example.org/copy-"),
+                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+        "text", "lang", "doc_id",
+    )
+    archive = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("https://archive.example.net/a-"),
+                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+        "text", "lang", "doc_id",
+    )
+    return base.unionAll(mirror).unionAll(archive)
+
+
+def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dpages + md5 text hash (md5 = engine-portable; Spark's xxhash64 has
+    no DuckDB twin). Production signatures use sha256 (operators/signatures)."""
+    return dpages(spark, sf_dir).filter(F.col("text").isNotNull()).withColumn(
+        "th", F.md5(F.col("text").cast("binary"))
+    )
+
+
+_HASHED_SQL = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT url, text, lang, doc_id, md5(text) AS th
+    FROM dpages WHERE text IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries (SURVEY.md §2 operator ids in names)
+# ---------------------------------------------------------------------------
+
+def q_s6_lang_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-S6: predicates + lowercase projection + count-by-key census."""
+    return (
+        dpages(spark, sf_dir)
+        .filter(F.col("url").startswith("http"))
+        .filter(F.col("text").isNotNull())
+        .withColumn("lang", F.lower(F.col("lang")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_pages"),
+             F.count_distinct(F.col("doc_id")).alias("n_docs"))
+    )
+
+
+SQL_S6 = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT lower(lang) AS lang, count(*) AS n_pages,
+           count(DISTINCT doc_id) AS n_docs
+    FROM dpages
+    WHERE url LIKE 'http%' AND text IS NOT NULL
+    GROUP BY lower(lang)
+"""
+
+
+def q_g4_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4+G5: composite-key hash agg + HAVING count>1 (blocking census)."""
+    return (
+        _hashed(spark, sf_dir)
+        .withColumn("len_band", (F.length("text") / 100).cast("long"))
+        .groupBy("lang", "len_band")
+        .agg(F.count("*").alias("block_size"))
+        .filter(F.col("block_size") > 1)
+    )
+
+
+SQL_G4 = f"""
+    WITH h AS ({_HASHED_SQL})
+    SELECT lang, CAST(floor(length(text) / 100.0) AS BIGINT) AS len_band,
+           count(*) AS block_size
+    FROM h GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def q_h1_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/B1: cheap prefix-hash signature -> group sizes >= 2 (the
+    reference's 3,000-byte quick_scan tier, main.rs:452-498)."""
+    return (
+        dpages(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("prefix_hash",
+                    F.md5(F.substring(F.col("text"), 1, 100).cast("binary")))
+        .groupBy("prefix_hash")
+        .agg(F.count("*").alias("n"), F.min("url").alias("first_url"))
+        .filter(F.col("n") > 1)
+    )
+
+
+SQL_H1 = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT md5(substring(text, 1, 100)) AS prefix_hash,
+           count(*) AS n, min(url) AS first_url
+    FROM dpages WHERE text IS NOT NULL
+    GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_d2_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/C1/O1: exact-duplicate clusters, cluster_id = min(url) per
+    identical-text group with >= 2 members (the reference's entire
+    semantics, flagship query)."""
+    h = _hashed(spark, sf_dir)
+    g = (
+        h.groupBy("th")
+        .agg(F.min("url").alias("cluster_id"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return h.join(g, "th").select("url", "cluster_id")
+
+
+SQL_D2 = f"""
+    WITH h AS ({_HASHED_SQL}),
+    g AS (SELECT th, min(url) AS cluster_id FROM h
+          GROUP BY th HAVING count(*) > 1)
+    SELECT h.url AS url, g.cluster_id AS cluster_id
+    FROM h JOIN g ON h.th = g.th
+"""
+
+
+def q_b1_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: equi self-join on block key, url_a < url_b canonical order."""
+    h = _hashed(spark, sf_dir).select("url", "th")
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, "th")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"),
+                F.col("th").alias("block_key"))
+    )
+
+
+SQL_B1 = f"""
+    WITH h AS ({_HASHED_SQL})
+    SELECT a.url AS url_a, b.url AS url_b, a.th AS block_key
+    FROM h a JOIN h b ON a.th = b.th AND a.url < b.url
+"""
+
+
+def q_o3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: run summary — scanned/valid/unique/dup counts (the reference's
+    `unique = total - (sum|g| - #g)` identity, main.rs:352-361)."""
+    h = _hashed(spark, sf_dir)
+    per_hash = h.groupBy("th").agg(F.count("*").alias("n"))
+    return per_hash.agg(
+        F.sum("n").alias("valid_pages"),
+        F.count("*").alias("unique_texts"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dup_pages"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_groups"),
+    )
+
+
+SQL_O3 = f"""
+    WITH h AS ({_HASHED_SQL}),
+    per_hash AS (SELECT th, count(*) AS n FROM h GROUP BY th)
+    SELECT sum(n) AS valid_pages, count(*) AS unique_texts,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup_pages,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_groups
+    FROM per_hash
+"""
+
+
+def q_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingling as a set-cardinality query: distinct word-3-gram count per
+    page band — exercises split/explode/windowless agg, SQL-portable."""
+    toks = (
+        dpages(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("url", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    tri = toks.select(
+        "url",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1],
+                                      F.col("w")[i + 2]),
+            )
+        ).alias("shingle"),
+    )
+    return tri.groupBy("url").agg(
+        F.count_distinct("shingle").alias("n_shingles")
+    )
+
+
+SQL_NGRAM = f"""
+    WITH dpages AS ({_DPAGES_SQL}),
+    toks AS (
+      SELECT url, string_split_regex(trim(text), '\\s+') AS w
+      FROM dpages WHERE text IS NOT NULL
+    ),
+    idx AS (
+      SELECT url, w, unnest(range(1, len(w) - 1)) AS i
+      FROM toks WHERE len(w) >= 3
+    ),
+    tri AS (
+      SELECT url, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    )
+    SELECT url, count(DISTINCT shingle) AS n_shingles
+    FROM tri GROUP BY url
+"""
+
+
+def q_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis ops: whitespace token count + length-based quality
+    band per page (built-in expressions only)."""
+    return (
+        dpages(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "url",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+            .alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+            (F.length("text") >= 200).alias("len_ok"),
+        )
+    )
+
+
+SQL_TOKENS = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT url,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           length(text) >= 200 AS len_ok
+    FROM dpages WHERE text IS NOT NULL
+"""
+
+
+def q_emb_label_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding table census with rounded L2 norm stats (vector column
+    handling via higher-order functions, JVM-side)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    norm = F.sqrt(F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("nrm"), 4).alias("avg_norm"))
+    )
+
+
+SQL_EMB_CENSUS = """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+"""
+
+
+# --- classic relational coverage over the TPC-H-ish tables -----------------
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg: partial+final hash aggregation over lineitem."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join: orders x customer, revenue per market segment."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_ORDER_CUST = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible queries (rows-only driver check; pytest oracles cover
+# their semantics — see tests/)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banded candidate pairs over dpages (fuzzy blocking)."""
+    from ..operators import blocking
+    from ..operators.signatures import signatures as sig_stage
+
+    pages = dpages(spark, sf_dir).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    ).withColumn("host", F.parse_url("url", F.lit("HOST")))
+    # signatures() expects extracted text; reuse the stage with golden text
+    sig = sig_stage(pages.withColumn("html", F.col("text").cast("binary")))
+    reps = blocking.exact_representatives(sig)
+    blocks = blocking.lsh_blocks(reps)
+    pruned, _ = blocking.prune_blocks(blocks)
+    from ..operators.candidates import candidate_pairs
+    return candidate_pairs(pruned)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 per distinct text (rows-only; pinned by unit vectors)."""
+    from ..functions.udfs import signatures_udf
+
+    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+    return d.withColumn("sig", signatures_udf(F.col("text"))).select(
+        "url", F.col("sig.simhash").alias("simhash")
+    )
+
+
+def q_full_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the complete blocking->scoring->CC pipeline on the
+    synthetic labeled pages table for this sf_dir."""
+    from ..datagen import pages_dir_for
+    from .pipeline import DedupPipeline
+
+    pd_dir = pages_dir_for(sf_dir)
+    return DedupPipeline(spark, pd_dir).run()
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors for 10 probe vectors (rows-only:
+    float summation order differs across engines)."""
+    from ..operators.ann import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, probes, k=5)
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+def catalog():
+    queries = {
+        "s6_lang_census": q_s6_lang_census,
+        "g4_block_stats": q_g4_block_stats,
+        "h1_prefix_groups": q_h1_prefix_groups,
+        "d2_exact_clusters": q_d2_exact_clusters,
+        "b1_candidate_pairs": q_b1_candidate_pairs,
+        "o3_summary": q_o3_summary,
+        "ngram_shingles": q_ngram_shingles,
+        "tokens_quality": q_tokens_quality,
+        "emb_label_census": q_emb_label_census,
+        "lineitem_pricing": q_lineitem_pricing,
+        "order_customer_join": q_order_customer_join,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_signatures": q_simhash_signatures,
+        "full_dedup_clusters": q_full_dedup_clusters,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
+    oracles = {
+        "s6_lang_census": SQL_S6,
+        "g4_block_stats": SQL_G4,
+        "h1_prefix_groups": SQL_H1,
+        "d2_exact_clusters": SQL_D2,
+        "b1_candidate_pairs": SQL_B1,
+        "o3_summary": SQL_O3,
+        "ngram_shingles": SQL_NGRAM,
+        "tokens_quality": SQL_TOKENS,
+        "emb_label_census": SQL_EMB_CENSUS,
+        "lineitem_pricing": SQL_LINEITEM,
+        "order_customer_join": SQL_ORDER_CUST,
+    }
+    return queries, oracles
