@@ -75,6 +75,7 @@ class _Builder:
     def __init__(self, seed: int):
         self.rng = random.Random(seed)
         self.rows: list[dict] = []
+        self.by_url: dict[str, int] = {}
         self.pairs: list[tuple[str, str, bool, str]] = []
         self.hosts = _hosts(self.rng)
         self.i = 0
@@ -93,6 +94,7 @@ class _Builder:
         else:
             html = html_override
             text = None
+        self.by_url[url] = len(self.rows)
         self.rows.append(
             {
                 "url": url,
@@ -105,8 +107,9 @@ class _Builder:
         return url
 
     def add_copy(self, src_row_url: str, host: str, slug: str) -> str:
-        src = next(r for r in reversed(self.rows) if r["url"] == src_row_url)
+        src = self.rows[self.by_url[src_row_url]]
         url = self.url(host, slug)
+        self.by_url[url] = len(self.rows)
         self.rows.append({**src, "url": url,
                           "warc_ts": EPOCH + timedelta(seconds=self.i)})
         return url

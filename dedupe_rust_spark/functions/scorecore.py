@@ -19,6 +19,11 @@ SCORE_VERSION = "1"
 # char level: the DP is O(len_a) numpy row-ops, so cap the row count.
 LEV_CHAR_CAP = 256
 
+# Jaro-Winkler is a prefix-weighted name-similarity metric; on documents we
+# compute it over the head only. O(len^2) matrix + O(len) loop per pair, so
+# this cap bounds the dominant scoring cost (engine semantics, versioned).
+JW_CHAR_CAP = 160
+
 
 def jaro(a: str, b: str) -> float:
     if a == b:
@@ -135,4 +140,8 @@ def jaccard_shingles(a: str, b: str) -> float:
 
 
 def score_pair(a: str, b: str) -> tuple[float, float, float]:
-    return jaro_winkler(a, b), lev_sim(a, b), jaccard_shingles(a, b)
+    return (
+        jaro_winkler(a[:JW_CHAR_CAP], b[:JW_CHAR_CAP]),
+        lev_sim(a, b),
+        jaccard_shingles(a, b),
+    )

@@ -95,19 +95,36 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding",
 
 def lsh_cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    bits: int = 8, dim: int = 64) -> DataFrame:
-    """Bucketed ANN: score only same-SRP-bucket candidates (equi join on
-    bucket), then window top-k. Recall < 1 by design; raise `bits` for
-    smaller buckets / lower recall, lower for the reverse."""
-    cb = srp_bucket(corpus, vec_col, bits, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
-    )
-    pb = srp_bucket(probes, vec_col, bits, dim).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"), "bucket"
-    )
+                    bits: int = 4, n_tables: int = 8, dim: int = 64
+                    ) -> DataFrame:
+    """Bucketed ANN with multi-table OR-amplification: a pair is a
+    candidate if it collides in ANY of `n_tables` independent SRP tables
+    (candidate prob = 1-(1-(1-theta/pi)^bits)^n_tables). Candidates are
+    unioned + distinct'd, vectors attached once, scored once, window top-k.
+
+    Recall/cost dial: more bits -> smaller buckets (cheaper, lower recall);
+    more tables -> higher recall (linear cost in bucketing passes).
+    """
+    pairs: DataFrame | None = None
+    for t in range(n_tables):
+        cb = srp_bucket(corpus, vec_col, bits, dim, seed=42 + t).select(
+            F.col(id_col).alias("neighbor_id"), "bucket"
+        )
+        pb = srp_bucket(probes, vec_col, bits, dim, seed=42 + t).select(
+            F.col(id_col).alias("probe_id"), "bucket"
+        )
+        p = cb.join(F.broadcast(pb), "bucket").select("probe_id", "neighbor_id")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    assert pairs is not None
+    pairs = pairs.filter(F.col("probe_id") != F.col("neighbor_id")).distinct()
+
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"))
+    pv = probes.select(F.col(id_col).alias("probe_id"),
+                       F.col(vec_col).alias("pv"))
     scored = (
-        cb.join(F.broadcast(pb), "bucket")
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        pairs.join(cv, "neighbor_id")
+        .join(F.broadcast(pv), "probe_id")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("pv"), F.col("cv"))

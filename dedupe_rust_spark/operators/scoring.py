@@ -35,6 +35,12 @@ def score_candidates(pairs: DataFrame, sig: DataFrame,
         .join(texts.withColumnsRenamed({"url": "url_a", "text": "_ta"}), "url_a")
         .join(texts.withColumnsRenamed({"url": "url_b", "text": "_tb"}), "url_b")
     )
+    # AQE coalesces the (byte-wise small) pair shuffle down to few
+    # partitions, which would serialize the CPU-heavy scorer UDF. Spread
+    # pairs across the cluster: cost is a tiny shuffle, win is full
+    # parallelism on the most expensive per-row stage.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    joined = joined.repartition(2 * par)
     scored = joined.withColumn("s", score_pairs_udf(F.col("_ta"), F.col("_tb")))
     return scored.select(
         "url_a",

@@ -1,0 +1,76 @@
+"""Text-analysis operators over the documents/pages tables: language-ID,
+quality scoring, token counting, fingerprinting — the training-data-pipeline
+surface beyond the reference's dedup core.
+
+Everything that CAN be a builtin expression IS one (quality ratios, token
+counts); only langid + fingerprint need a pandas UDF (profile matching /
+rolling hash).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import textstats
+
+
+@pandas_udf(T.StringType())
+def detect_lang_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textstats.detect_lang(t) if isinstance(t, str) else None)
+
+
+@pandas_udf(T.StringType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textstats.fingerprint(t) if isinstance(t, str) else None)
+
+
+@pandas_udf(T.IntegerType())
+def bpe_token_count_udf(text: pd.Series) -> pd.Series:
+    return text.map(
+        lambda t: textstats.token_count_bpe(t) if isinstance(t, str) else None
+    ).astype("Int32")
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Builtin-only quality heuristics (C4/Gopher-style): char length,
+    whitespace token count, alpha ratio, mean word length, and a composite
+    keep/drop flag. All JVM-side, fully codegen'd."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^\p{L}\s]", ""))
+    mean_wl = (F.length(F.regexp_replace(t, r"\s+", "")) /
+               F.greatest(n_words, F.lit(1))).cast("double")
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("alpha_ratio",
+                    F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn(
+            "quality_keep",
+            (n_chars >= 50) & (n_words >= 10)
+            & (alpha_chars / F.greatest(n_chars, F.lit(1)) >= 0.6)
+            & (mean_wl >= 2.0) & (mean_wl <= 12.0),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_detected", detect_lang_udf(F.col(text_col)))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens_ws",
+                      F.size(F.split(F.trim(t), r"\s+")).cast("long"))
+        .withColumn("n_tokens_bpe", bpe_token_count_udf(t).cast("long"))
+    )

@@ -94,6 +94,12 @@ class DedupPipeline:
             return df
         pages = clean_pages(read_pages(self.spark, self.pages_dir),
                             self.cfg.exclude_hosts)
+        # The synthetic pages table is one small parquet file -> one input
+        # split -> the extraction UDF would run on a single task. Spread it
+        # across the cluster; on a real 100 TB table the scan already yields
+        # thousands of splits and this repartition is a no-op cost-wise.
+        par = self.spark.sparkContext.defaultParallelism
+        pages = pages.repartition(2 * par)
         extracted = sigs.extract(pages, self.cfg.use_golden_text)
         sig = sigs.signatures(extracted)
         return self._checkpoint(sig, "signatures")

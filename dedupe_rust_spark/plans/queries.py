@@ -308,6 +308,116 @@ SQL_EMB_CENSUS = """
 """
 
 
+def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; the LSH-bucketed
+    scale path is operators/ann.lsh_cosine_topk). Rounded to 4 decimals so
+    the float comparison is engine-portable."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.col(f"{side}.embedding"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.round(dot / (norm("a") * norm("b")), 4))
+        .filter(F.col("cosine") >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_id_a"),
+                F.col("b.vec_id").alias("vec_id_b"), "cosine")
+    )
+
+
+SQL_EMB_DUPS = """
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.35
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate, builtin expressions only."""
+    from ..operators.textops import quality_columns
+
+    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+    return quality_columns(d).select(
+        "url", "n_chars", "n_words", "alpha_ratio", "quality_keep"
+    )
+
+
+SQL_QUALITY = f"""
+    WITH dpages AS ({_DPAGES_SQL}),
+    q AS (
+      SELECT url,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_chars,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace_chars
+      FROM dpages WHERE text IS NOT NULL
+    )
+    SELECT url, n_chars, n_words,
+           round(alpha_chars * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+           (n_chars >= 50 AND n_words >= 10
+            AND alpha_chars * 1.0 / greatest(n_chars, 1) >= 0.6
+            AND nonspace_chars * 1.0 / greatest(n_words, 1) >= 2.0
+            AND nonspace_chars * 1.0 / greatest(n_words, 1) <= 12.0)
+           AS quality_keep
+    FROM q
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the stored lang column (rows-only; the
+    n-gram profile matcher is not SQL-expressible)."""
+    from ..operators.textops import language_id
+
+    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        language_id(d)
+        .groupBy("lang", "lang_detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (rows-only)."""
+    from ..operators.textops import fingerprints
+
+    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+    return fingerprints(d).select("url", "fingerprint")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize a tiny PNG-framed blob per doc
+    (deterministic), sniff header dims JVM-batched via mapInPandas, extract
+    fake features (rows-only; real codecs stubbed, operators/multimodal)."""
+    from ..operators.multimodal import image_features
+
+    # 8-byte PNG magic + minimal IHDR prefix carrying width=3, height=2
+    png_hdr = bytes.fromhex("89504e470d0a1a0a0000000d49484452"
+                            "00000003" "00000002")
+    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "url",
+        F.concat(F.lit(png_hdr), F.encode(F.col("text"), "utf-8")).alias("content"),
+    )
+    return image_features(d, id_col="url", bin_col="content")
+
+
 # --- classic relational coverage over the TPC-H-ish tables -----------------
 
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,6 +542,11 @@ def catalog():
         "simhash_signatures": q_simhash_signatures,
         "full_dedup_clusters": q_full_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_cosine_dups": q_emb_cosine_dups,
+        "quality_filter": q_quality_filter,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "multimodal_features": q_multimodal_features,
     }
     oracles = {
         "s6_lang_census": SQL_S6,
@@ -445,5 +560,7 @@ def catalog():
         "emb_label_census": SQL_EMB_CENSUS,
         "lineitem_pricing": SQL_LINEITEM,
         "order_customer_join": SQL_ORDER_CUST,
+        "emb_cosine_dups": SQL_EMB_DUPS,
+        "quality_filter": SQL_QUALITY,
     }
     return queries, oracles

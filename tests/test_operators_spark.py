@@ -1,0 +1,118 @@
+"""Operator-level Spark tests: ANN, multimodal plumbing, text ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_rust_spark.operators import ann, multimodal, textops
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+class TestANN:
+    def test_bruteforce_topk_matches_numpy(self, spark, emb):
+        local = emb.toPandas()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
+        ids = local["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        probe_ids = ids[:3]
+        got = (
+            ann.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+            .toPandas().sort_values(["probe_id", "rank"])
+        )
+        for pid in probe_ids:
+            pv = mat[ids == pid][0]
+            cos = mat @ pv / (norms * np.linalg.norm(pv))
+            cos[ids == pid] = -np.inf
+            order = np.argsort(np.round(cos, 6) - ids * 1e-12)[::-1][:5]
+            expect = [int(ids[j]) for j in order]
+            have = got[got.probe_id == pid]["neighbor_id"].tolist()
+            assert have == expect, (pid, have, expect)
+
+    def test_lsh_recall_reasonable(self, spark, emb):
+        exact = ann.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+        approx = ann.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                     k=5, bits=4, n_tables=8)
+        e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        # 8 tables x 4-bit SRP: candidate prob ~0.75 for near neighbors
+        assert recall >= 0.5, recall
+
+    def test_srp_bucket_deterministic(self, spark, emb):
+        b1 = ann.srp_bucket(emb, bits=8).select("vec_id", "bucket").toPandas()
+        b2 = ann.srp_bucket(emb, bits=8).select("vec_id", "bucket").toPandas()
+        assert b1.equals(b2)
+
+
+class TestMultimodal:
+    PNG = bytes.fromhex("89504e470d0a1a0a0000000d49484452"
+                        "00000003" "00000002") + b"payload"
+    GIF = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"x"
+
+    def test_sniff_dimensions(self):
+        assert multimodal.sniff_dimensions(self.PNG) == ("png", 3, 2)
+        assert multimodal.sniff_dimensions(self.GIF) == ("gif", 7, 9)
+        assert multimodal.sniff_dimensions(b"garbage123") == (None, None, None)
+        assert multimodal.sniff_dimensions(None) == (None, None, None)
+
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(self.PNG)
+
+    def test_image_features_plumbing(self, spark):
+        rows = [("a", self.PNG), ("b", self.GIF), ("c", b"junk")]
+        df = spark.createDataFrame(rows, "url string, content binary")
+        out = multimodal.image_features(df).toPandas().set_index("content_id")
+        assert out.loc["a", "fmt"] == "png" and out.loc["a", "width"] == 3
+        assert out.loc["b", "fmt"] == "gif" and out.loc["b", "height"] == 9
+        assert out.loc["c", "fmt"] is None and out.loc["c", "feature"] is None
+        # deterministic fake features
+        f1 = multimodal.image_features(df).toPandas().set_index("content_id")
+        assert list(out.loc["a", "feature"]) == list(f1.loc["a", "feature"])
+
+    def test_dedupe_by_content_hash(self, spark):
+        rows = [("a", b"xxx1"), ("b", b"xxx1"), ("c", b"yyy2"), ("d", b"xxx1")]
+        df = spark.createDataFrame(rows, "url string, content binary")
+        out = multimodal.dedupe_by_content_hash(df).toPandas()
+        assert set(out["content_id"]) == {"a", "b", "d"}
+        assert set(out["cluster_id"]) == {"a"}
+
+
+class TestTextOps:
+    def test_quality_columns(self, spark):
+        good = ("the quick brown fox jumps over the lazy dog and runs to the "
+                "house with a friend for fun in the park on a warm day")
+        df = spark.createDataFrame(
+            [("g", good), ("bad", "@#$ %^&")], "id string, text string")
+        out = textops.quality_columns(df).toPandas().set_index("id")
+        assert bool(out.loc["g", "quality_keep"])
+        assert not bool(out.loc["bad", "quality_keep"])
+
+    def test_language_id_udf(self, spark):
+        df = spark.createDataFrame(
+            [("e", "the cat and the dog ran to the house in that city"),
+             ("d", "der Hund und die Katze ist nicht in den Haus")],
+            "id string, text string")
+        out = textops.language_id(df).toPandas().set_index("id")
+        assert out.loc["e", "lang_detected"] == "en"
+        assert out.loc["d", "lang_detected"] == "de"
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("x", "hello, world 123")],
+                                   "id string, text string")
+        out = textops.token_counts(df).toPandas()
+        assert out["n_tokens_ws"][0] == 3
+        assert out["n_tokens_bpe"][0] == 4
+
+    def test_fingerprint_stable(self, spark):
+        df = spark.createDataFrame([("x", "y" * 500)], "id string, text string")
+        a = textops.fingerprints(df).toPandas()["fingerprint"][0]
+        b = textops.fingerprints(df).toPandas()["fingerprint"][0]
+        from dedupe_rust_spark.functions.textstats import fingerprint
+        assert a == b == fingerprint("y" * 500)
