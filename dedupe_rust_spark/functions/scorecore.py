@@ -145,3 +145,150 @@ def score_pair(a: str, b: str) -> tuple[float, float, float]:
         lev_sim(a, b),
         jaccard_shingles(a, b),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched scorers: vectorized ACROSS pairs (one numpy op services the whole
+# Arrow batch) — the hot path for candidate scoring at scale. Semantics are
+# identical to the per-pair functions above; tests assert elementwise
+# agreement.
+# ---------------------------------------------------------------------------
+
+_PAD = np.uint32(0xFFFFFFFF)
+
+
+def _pad_codes(codes: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    n = len(codes)
+    lens = np.fromiter((len(c) for c in codes), dtype=np.int64, count=n)
+    width = max(int(lens.max()), 1) if n else 1
+    mat = np.full((n, width), _PAD, dtype=np.uint32)
+    for i, c in enumerate(codes):
+        mat[i, : len(c)] = c
+    return mat, lens
+
+
+def lev_sim_batch(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+    """Batched lev_sim: same char/token-level switch as lev_sim()."""
+    n = len(texts_a)
+    out = np.zeros(n)
+    codes_a: list[np.ndarray] = []
+    codes_b: list[np.ndarray] = []
+    idx: list[int] = []
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        if a == b:
+            out[i] = 1.0
+            continue
+        if max(len(a), len(b)) <= LEV_CHAR_CAP:
+            ca, cb = _codes(a), _codes(b)
+        else:
+            ca, cb = _token_codes(a), _token_codes(b)
+        if max(len(ca), len(cb)) == 0:
+            out[i] = 1.0
+            continue
+        codes_a.append(ca)
+        codes_b.append(cb)
+        idx.append(i)
+    if not idx:
+        return out
+    # sort by |a| so fixed-size chunks waste little padding
+    order = sorted(range(len(idx)), key=lambda k: len(codes_a[k]))
+    for s in range(0, len(order), 512):
+        chunk = order[s : s + 512]
+        A, la = _pad_codes([codes_a[k] for k in chunk])
+        B, lb = _pad_codes([codes_b[k] for k in chunk])
+        dist = _lev_dp_batch(A, la, B, lb)
+        denom = np.maximum(la, lb)
+        for j, k in enumerate(chunk):
+            out[idx[k]] = 1.0 - dist[j] / denom[j]
+    return out
+
+
+def _lev_dp_batch(A: np.ndarray, la: np.ndarray, B: np.ndarray,
+                  lb: np.ndarray) -> np.ndarray:
+    """Row-synchronous DP over all pairs at once; rows beyond a pair's own
+    length are masked out, padded B columns never reach the readout cell."""
+    m, wb = A.shape[0], B.shape[1]
+    ramp = np.arange(wb + 1, dtype=np.int32)
+    prev = np.tile(ramp, (m, 1))
+    cur = np.empty_like(prev)
+    for i in range(A.shape[1]):
+        active = la > i
+        if not active.any():
+            break
+        cur[:, 0] = i + 1
+        sub = prev[:, :-1] + (B != A[:, i : i + 1])
+        np.minimum(sub, prev[:, 1:] + 1, out=cur[:, 1:])
+        cur -= ramp
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += ramp
+        np.copyto(prev, cur, where=active[:, None])
+    return prev[np.arange(m), lb]
+
+
+def jw_batch(texts_a: list[str], texts_b: list[str],
+             cap: int = JW_CHAR_CAP) -> np.ndarray:
+    """Batched Jaro-Winkler over the capped heads (same semantics as
+    jaro_winkler(a[:cap], b[:cap]))."""
+    n = len(texts_a)
+    codes_a = [_codes(a[:cap]) for a in texts_a]
+    codes_b = [_codes(b[:cap]) for b in texts_b]
+    A, la = _pad_codes(codes_a)
+    B, lb = _pad_codes(codes_b)
+    wb = B.shape[1]
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    jidx = np.arange(wb)
+    taken = np.zeros((n, wb), dtype=bool)
+    mcount = np.zeros(n, dtype=np.int64)
+    a_seq = np.zeros((n, A.shape[1]), dtype=np.uint32)
+    b_pos = np.zeros((n, A.shape[1]), dtype=np.int64)
+    rows = np.arange(n)
+    for i in range(A.shape[1]):
+        live = la > i
+        if not live.any():
+            break
+        row_eq = (B == A[:, i : i + 1]) & ~taken
+        row_eq &= np.abs(jidx[None, :] - i) <= win[:, None]
+        row_eq &= jidx[None, :] < lb[:, None]
+        row_eq &= live[:, None]
+        j = np.argmax(row_eq, axis=1)
+        found = row_eq[rows, j]
+        fr = rows[found]
+        taken[fr, j[found]] = True
+        a_seq[fr, mcount[found]] = A[fr, i]
+        b_pos[fr, mcount[found]] = j[found]
+        mcount[found] += 1
+    # transpositions: matched b codes in b-order vs matched a codes in a-order
+    half_t = np.zeros(n)
+    jaro = np.zeros(n)
+    for p in rows[mcount > 0]:
+        mc = mcount[p]
+        bp = np.sort(b_pos[p, :mc])
+        half_t[p] = np.count_nonzero(a_seq[p, :mc] != B[p, bp]) / 2
+        jaro[p] = (mc / la[p] + mc / lb[p] + (mc - half_t[p]) / mc) / 3
+    # Winkler prefix boost (only when jaro > 0.7)
+    kmax = min(4, A.shape[1], wb)
+    if kmax > 0:
+        pre_eq = (A[:, :kmax] == B[:, :kmax]) & (A[:, :kmax] != _PAD)
+        prefix = np.cumprod(pre_eq, axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(n, dtype=np.int64)
+    boost = jaro > 0.7
+    jw = np.where(boost, jaro + prefix * 0.1 * (1 - jaro), jaro)
+    # empty == empty is a perfect match (per-pair a==b shortcut)
+    return np.where((la == 0) & (lb == 0), 1.0, jw)
+
+
+def jaccard_batch(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (jaccard_shingles(a, b) for a, b in zip(texts_a, texts_b)),
+        dtype=np.float64, count=len(texts_a),
+    )
+
+
+def score_batch(texts_a: list[str], texts_b: list[str]
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        jw_batch(texts_a, texts_b),
+        lev_sim_batch(texts_a, texts_b),
+        jaccard_batch(texts_a, texts_b),
+    )

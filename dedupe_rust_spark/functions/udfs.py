@@ -3,7 +3,7 @@
 Exactly three UDF families (SURVEY.md §2.1), everything else is built-in
 Catalyst expressions:
   * extract_text_udf : html binary -> text        (parity-critical, G3/D3)
-  * signatures_udf   : text -> (simhash, minhash) (H1 generalization)
+  * signatures_udf   : text -> (simhash, LSH bands) (H1 generalization)
   * score_pairs_udf  : (text_a, text_b) -> (jw, lev_sim, jaccard) (D1/D2)
 
 All are Series-scalar UDFs over Arrow batches; the inner loops are the
@@ -35,40 +35,37 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 @pandas_udf(SIG_UDF_RESULT)
 def signatures_udf(text: pd.Series) -> pd.DataFrame:
+    """text -> (simhash, 32 LSH band bucket keys). MinHash (k=128) is
+    computed internally and immediately banded — raw signatures never
+    cross the Arrow boundary (SIG_UDF_RESULT note in schemas.py)."""
     simhashes: list[int | None] = []
-    minhashes: list[list[int] | None] = []
+    bands: list[list[int] | None] = []
     for t in text:
         if t is None or (isinstance(t, float) and pd.isna(t)):
             simhashes.append(None)
-            minhashes.append(None)
+            bands.append(None)
             continue
         simhashes.append(_to_i64(sigcore.simhash64(t)))
         sig = sigcore.minhash(t)
-        minhashes.append([int(v) for v in sig.astype(np.int64)])
-    return pd.DataFrame({"simhash": simhashes, "minhash": minhashes})
-
-
-@pandas_udf(T.ArrayType(T.LongType()))
-def band_keys_udf(minhash: pd.Series) -> pd.Series:
-    """minhash array -> 32 LSH band bucket keys (int64)."""
-
-    def _bands(sig):
-        if sig is None:
-            return None
-        arr = np.asarray(sig, dtype=np.int64).astype(np.uint64)
-        return [_to_i64(k) for k in sigcore.band_keys(arr)]
-
-    return minhash.map(_bands)
+        bands.append([_to_i64(k) for k in sigcore.band_keys(sig)])
+    return pd.DataFrame({"simhash": simhashes, "bands": bands})
 
 
 @pandas_udf(SCORE_UDF_RESULT)
 def score_pairs_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
-    jw = np.empty(len(text_a))
-    lev = np.empty(len(text_a))
-    jac = np.empty(len(text_a))
-    for i, (a, b) in enumerate(zip(text_a, text_b)):
-        if not isinstance(a, str) or not isinstance(b, str):
-            jw[i] = lev[i] = jac[i] = 0.0
-            continue
-        jw[i], lev[i], jac[i] = scorecore.score_pair(a, b)
+    n = len(text_a)
+    jw = np.zeros(n)
+    lev = np.zeros(n)
+    jac = np.zeros(n)
+    keep = [
+        i for i, (a, b) in enumerate(zip(text_a, text_b))
+        if isinstance(a, str) and isinstance(b, str)
+    ]
+    if keep:
+        ta = [text_a.iloc[i] for i in keep]
+        tb = [text_b.iloc[i] for i in keep]
+        bjw, blev, bjac = scorecore.score_batch(ta, tb)
+        jw[keep] = bjw
+        lev[keep] = blev
+        jac[keep] = bjac
     return pd.DataFrame({"jaro_winkler": jw, "lev_sim": lev, "jaccard": jac})

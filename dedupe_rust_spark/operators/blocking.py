@@ -22,8 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.udfs import band_keys_udf
-
 DEFAULT_MAX_BLOCK = 512
 
 
@@ -35,6 +33,17 @@ def exact_representatives(sig: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def exact_group_map(sig: DataFrame) -> DataFrame:
+    """(url, root) where root = min url of the identical-text group
+    (root == url for unique texts). The root is also the representative
+    that entered fuzzy blocking, so fuzzy cluster labels propagate to all
+    exact copies with ONE join — exact-dup stars never enter the CC loop
+    (a boilerplate page with 10^6 copies would otherwise drag a 10^6-arm
+    star through every iteration)."""
+    w = Window.partitionBy("text_sha256")
+    return sig.select("url", F.min("url").over(w).alias("root"))
 
 
 def exact_edges(sig: DataFrame) -> DataFrame:
@@ -52,11 +61,12 @@ def exact_edges(sig: DataFrame) -> DataFrame:
 
 
 def lsh_blocks(reps: DataFrame) -> DataFrame:
-    """Explode LSH band keys -> (block_key, url). block_key is
-    'band_index:band_hash' so different bands never collide."""
+    """Explode precomputed LSH band keys -> (block_key, url). block_key is
+    'band_index:band_hash' so different bands never collide. Pure JVM:
+    the band keys were computed inside the signature UDF pass."""
     bands = reps.select(
         "url",
-        F.posexplode(band_keys_udf(F.col("minhash"))).alias("band_id", "band_hash"),
+        F.posexplode(F.col("bands")).alias("band_id", "band_hash"),
     )
     return bands.select(
         F.concat_ws(":", F.col("band_id"), F.col("band_hash")).alias("block_key"),
@@ -93,6 +103,9 @@ def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
     multi = sized.filter(F.col("_sz") > 1)
     wo = Window.partitionBy("block_key").orderBy("url")
     ranked = multi.withColumn("_rk", F.row_number().over(wo))
+    # both consumers (kept -> self-join, cap metric count) share this
+    # subtree; materialize once so the band-UDF lineage runs once.
+    ranked = ranked.localCheckpoint(eager=False)
     kept = ranked.filter(F.col("_rk") <= max_block).select("block_key", "url")
     cap_metrics = (
         ranked.filter(F.col("_sz") > max_block)

@@ -17,7 +17,7 @@ the node key throughout so successive rounds reuse the hash partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -26,6 +26,9 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     Only nodes that appear in an edge are returned (singletons are added by
     the caller if desired).
     """
+    # materialize the edge list once: the symmetrizing union below consumes
+    # it twice, and its lineage may carry the whole scoring UDF chain
+    edges = edges.localCheckpoint()
     sym = (
         edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .union(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
@@ -35,14 +38,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint()
 
-    for _ in range(max_iter):
+    def one_round(lab: DataFrame) -> DataFrame:
         # 1. neighbor-min: candidate label for each node from its neighbors
         nbr_labels = (
-            sym.join(labels, on="node")
+            sym.join(lab, on="node")
             .select(F.col("nbr").alias("node"), "label")
         )
         new_labels = (
-            labels.unionByName(nbr_labels)
+            lab.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
@@ -50,11 +53,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         lab2 = new_labels.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
-        jumped = (
+        return (
             new_labels.join(lab2, on="label", how="left")
             .select("node", F.coalesce("label2", "label").alias("label"))
         )
-        jumped = jumped.localCheckpoint()
+
+    # Two propagation rounds per materialization: the plan for both rounds
+    # compiles into one job at the checkpoint, halving per-round scheduling
+    # latency; convergence is checked on the materialized result.
+    for _ in range(max_iter // 2):
+        jumped = one_round(one_round(labels)).localCheckpoint()
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), on="node")
@@ -66,6 +74,33 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             break
 
     return labels.select(F.col("node").alias("url"), F.col("label").alias("cluster_id"))
+
+
+def propagate_to_members(rep_labels: DataFrame, ex_map: DataFrame
+                         ) -> DataFrame:
+    """Combine fuzzy CC labels over representatives with exact groups.
+
+    ex_map: (url, root) from blocking.exact_group_map — root is the
+    exact-group min-url AND the representative that entered fuzzy blocking.
+    Final label per url = CC label of its root if the root was fuzzy-
+    matched, else the root itself; urls whose final cluster has a single
+    member are dropped (duplicate groups have >= 2, reference
+    main.rs:418-421). cluster_id stays min(url) of the whole cluster
+    because roots are group-minima and CC labels are root-minima.
+    """
+    root_label = ex_map.select(F.col("root").alias("url")).distinct().join(
+        rep_labels.withColumnsRenamed({"cluster_id": "_cc"}), "url", "left"
+    ).select(F.col("url").alias("root"),
+             F.coalesce("_cc", "url").alias("label"))
+    labeled = ex_map.join(root_label, "root").select(
+        "url", F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
 
 
 def clusters_with_members(labels: DataFrame) -> DataFrame:

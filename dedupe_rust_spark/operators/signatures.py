@@ -1,13 +1,13 @@
 """Extract + signature stage (reference analogs G3, H1, D1).
 
 pages -> signatures(url, host, lang, text, text_sha256, prefix_hash,
-simhash, minhash, n_chars)
+simhash, bands, n_chars)
 
 The cheap->expensive cascade of the reference (dimensions -> 3,000-byte
 prefix hash -> full decode hash, /root/reference/src/main.rs:241-259) maps to:
   * prefix_hash  = xxhash64(first 3,000 bytes of html)   — built-in, JVM-side
   * text_sha256  = sha2(text, 256)                       — built-in, JVM-side
-  * simhash/minhash                                      — one pandas UDF pass
+  * simhash/minhash-bands                                — one pandas UDF pass
 Only the UDF columns leave the JVM; everything else stays in codegen.
 """
 
@@ -47,7 +47,7 @@ def signatures(extracted: DataFrame) -> DataFrame:
             "url", "host", "lang", "text",
             "text_sha256", "prefix_hash",
             F.col("sig.simhash").alias("simhash"),
-            F.col("sig.minhash").alias("minhash"),
+            F.col("sig.bands").alias("bands"),
             "n_chars",
         )
     )

@@ -36,6 +36,11 @@ class PipelineConfig:
     max_hamming: int = cand.SIMHASH_HAMMING_MAX
     use_golden_text: bool = False
     exclude_hosts: list[str] = field(default_factory=list)
+    # checkpoints=False is the throughput fast path: stages fuse into a
+    # handful of jobs (no per-stage materialization/count, no per-partition
+    # lineage, no cap census). Same results; resumability and fine-grained
+    # metrics are OFF — use for benches, not production runs.
+    checkpoints: bool = True
 
 
 class DedupPipeline:
@@ -58,6 +63,14 @@ class DedupPipeline:
     def _checkpoint(self, df: DataFrame, stage: str) -> DataFrame:
         """Write stage output and read it back (cuts lineage + resumable).
         Without out_dir, fall back to localCheckpoint (tests/bench)."""
+        if not self.cfg.checkpoints and stage == "scores":
+            # fast path: scores has exactly one downstream consumer (the
+            # edge list) — let it fuse into that job
+            return df
+        if not self.cfg.checkpoints and stage == "clusters":
+            # small result, >=2 consumers (metrics count + caller): one
+            # cheap materialization, no parquet round-trip
+            return df.localCheckpoint()
         path = self._ckpt_path(stage)
         t0 = time.monotonic()
         if path is None:
@@ -109,19 +122,22 @@ class DedupPipeline:
         t_all = time.monotonic()
         sig = self.signatures()
 
-        # per-partition lineage for the extract stage (north rule): rows per
-        # partition + drop accounting, written into metrics
-        self._partition_lineage(sig, "signatures")
+        if self.cfg.checkpoints:
+            # per-partition lineage for the extract stage (north rule): rows
+            # per partition + drop accounting, written into metrics
+            self._partition_lineage(sig, "signatures")
 
-        ex_edges = blocking.exact_edges(sig)
+        ex_map = blocking.exact_group_map(sig)
         reps = blocking.exact_representatives(sig)
         blocks = blocking.all_blocks(reps)
         pruned, cap_metrics = blocking.prune_blocks(blocks, self.cfg.max_block)
-        n_capped = cap_metrics.count()
-        if n_capped:
-            self.stage_metrics.append({"stage": "blocks_capped",
-                                       "rows_out": n_capped,
-                                       "run_id": self.run_id, "wall_ms": 0})
+        if self.cfg.checkpoints:
+            t0 = time.monotonic()
+            n_capped = cap_metrics.count()
+            self.stage_metrics.append(
+                {"stage": "blocks_capped", "rows_out": n_capped,
+                 "run_id": self.run_id,
+                 "wall_ms": int((time.monotonic() - t0) * 1000)})
 
         pairs = cand.candidate_pairs(pruned)
         if self.cfg.simhash_prefilter:
@@ -132,10 +148,17 @@ class DedupPipeline:
                                           self.cfg.jaccard_match)
         scores = self._checkpoint(scores, "scores")
 
-        # F1-floor guard (SURVEY.md §7 hard part e): exact edges are ALWAYS
-        # unioned in — the fuzzy tier can only add, never lose, exact dups.
-        edges = scoring.match_edges(scores).unionByName(ex_edges).distinct()
-        labels = cluster.connected_components(edges)
+        # Transitive closure runs over FUZZY edges between exact-group
+        # representatives only; exact copies then inherit their root's
+        # label via one join (blocking.exact_group_map). The exact tier can
+        # never be lost (F1 floor, SURVEY.md §7e): a group's members always
+        # share their root's final label.
+        t0 = time.monotonic()
+        rep_labels = cluster.connected_components(scoring.match_edges(scores))
+        labels = cluster.propagate_to_members(rep_labels, ex_map)
+        self.stage_metrics.append(
+            {"stage": "cc_loop", "rows_out": -1, "run_id": self.run_id,
+             "wall_ms": int((time.monotonic() - t0) * 1000)})
         clusters = self._checkpoint(labels, "clusters")
 
         self.stage_metrics.append(
@@ -144,6 +167,30 @@ class DedupPipeline:
              "run_id": self.run_id})
         self._write_metrics()
         return clusters
+
+    def write_report(self, clusters: DataFrame) -> dict:
+        """Reference O2 analog: the run report JSON
+        (`Results`/`DuplicateGroup`, main.rs:38-49; sorted groups 310-315,
+        sorted members 630). Driver-side only for the small summary; the
+        full clusters live in parquet."""
+        import json
+
+        groups = (
+            cluster.clusters_with_members(clusters)
+            .orderBy("cluster_id")
+            .collect()
+        )
+        report = {
+            "run_id": self.run_id,
+            "total_groups": len(groups),
+            "groups": [{"urls": list(r["urls"]), "n": r["n"]} for r in groups],
+        }
+        if self.out_dir is not None:
+            path = os.path.join(self.out_dir,
+                                f"dedupe_report_{self.run_id}.json")
+            with open(path, "w") as f:
+                json.dump(report, f, indent=2, sort_keys=True)
+        return report
 
     # --------------------------------------------------------------- metrics
     def _partition_lineage(self, df: DataFrame, stage: str) -> None:

@@ -26,15 +26,18 @@ SIGNATURES = T.StructType(
         T.StructField("text_sha256", T.StringType(), True),
         T.StructField("prefix_hash", T.LongType(), True),
         T.StructField("simhash", T.LongType(), True),
-        T.StructField("minhash", T.ArrayType(T.LongType()), True),
+        T.StructField("bands", T.ArrayType(T.LongType()), True),
         T.StructField("n_chars", T.IntegerType(), True),
     ]
 )
 
+# The signature UDF emits LSH band bucket keys directly (32 longs) rather
+# than the raw 128-long MinHash signature: 4x fewer bytes through Arrow and
+# checkpoints, and blocking needs no second Python pass (posexplode only).
 SIG_UDF_RESULT = T.StructType(
     [
         T.StructField("simhash", T.LongType(), True),
-        T.StructField("minhash", T.ArrayType(T.LongType()), True),
+        T.StructField("bands", T.ArrayType(T.LongType()), True),
     ]
 )
 

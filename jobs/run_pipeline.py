@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow `spark-submit jobs/run_pipeline.py` straight from a repo checkout
+# (driver side; executors get the package via --py-files on a real cluster)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

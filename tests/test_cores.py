@@ -184,3 +184,34 @@ class TestUnionFind:
                     changed = True
         for a, b in edges:
             assert got[a] == got[b] == label[a] == label[b]
+
+
+# ------------------------------------------------------- batch == per-pair
+class TestBatchScorers:
+    def _pairs(self):
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(300)]
+        out = []
+        for _ in range(150):
+            n = rng.randint(0, 100)
+            a = [rng.choice(vocab) for _ in range(n)]
+            b = list(a)
+            for _ in range(rng.randint(0, max(1, n // 3))):
+                if b:
+                    b[rng.randrange(len(b))] = rng.choice(vocab)
+            out.append((" ".join(a), " ".join(b)))
+        out += [("martha", "marhta"), ("DWAYNE", "DUANE"), ("", ""),
+                ("", "x"), ("abc", "abc"), ("kitten", "sitting"),
+                ("a" * 300, "a" * 299 + "b")]
+        return out
+
+    def test_batch_matches_per_pair(self):
+        pairs = self._pairs()
+        ta = [p[0] for p in pairs]
+        tb = [p[1] for p in pairs]
+        bjw, blev, bjac = scorecore.score_batch(ta, tb)
+        for i, (a, b) in enumerate(pairs):
+            jw, lev, jac = scorecore.score_pair(a, b)
+            assert abs(jw - bjw[i]) < 1e-9, (i, a[:30], b[:30])
+            assert abs(lev - blev[i]) < 1e-9, (i, a[:30], b[:30])
+            assert abs(jac - bjac[i]) < 1e-9, (i, a[:30], b[:30])

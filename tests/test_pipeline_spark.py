@@ -171,3 +171,30 @@ def test_resume_skips_completed_stages(spark, tiny_pages_dir, tmp_path):
     resumed = [m for m in p2.stage_metrics if m.get("resumed")]
     assert any(m["stage"] == "signatures" for m in resumed)
     assert any(m["stage"] == "candidates" for m in resumed)
+
+
+def test_fast_path_equals_checkpointed(spark, tiny_pages_dir):
+    """checkpoints=False (throughput fast path) must produce identical
+    clusters to the default checkpointed path."""
+    from dedupe_rust_spark.plans.pipeline import PipelineConfig
+
+    slow = DedupPipeline(spark, tiny_pages_dir).run()
+    fast = DedupPipeline(spark, tiny_pages_dir,
+                         config=PipelineConfig(checkpoints=False)).run()
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.exceptAll(slow).count() == 0
+
+
+def test_write_report_golden_shape(spark, tiny_pages_dir, tmp_path):
+    pipe = DedupPipeline(spark, tiny_pages_dir, out_dir=str(tmp_path),
+                         run_id="RPT")
+    clusters = pipe.run()
+    report = pipe.write_report(clusters)
+    assert report["total_groups"] == len(report["groups"]) > 0
+    for g in report["groups"][:20]:
+        assert g["urls"] == sorted(g["urls"]) and g["n"] == len(g["urls"]) >= 2
+    # groups sorted by first member (reference main.rs:310-315)
+    firsts = [g["urls"][0] for g in report["groups"]]
+    assert firsts == sorted(firsts)
+    import os
+    assert os.path.exists(str(tmp_path / "dedupe_report_RPT.json"))
