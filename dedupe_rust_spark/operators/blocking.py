@@ -97,20 +97,35 @@ def all_blocks(reps: DataFrame) -> DataFrame:
 def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
                  ) -> tuple[DataFrame, DataFrame]:
     """Drop singleton blocks (HAVING count>1, reference main.rs:418-421) and
-    cap oversized ones. Returns (pruned_blocks, cap_metrics)."""
+    SALT oversized ones: a block of size m > max_block is split
+    deterministically (by url rank) into ceil(m/max_block) sub-blocks, so
+    no row is dropped but per-block pair count stays O(max_block^2).
+    Cross-sub-block pairs of a salted block are recovered by the other 31
+    bands / title key with high probability. Returns (salted_blocks,
+    salt_metrics) — every salted block is REPORTED, never silent
+    (SURVEY.md §4.3.1)."""
     w = Window.partitionBy("block_key")
     sized = blocks.withColumn("_sz", F.count("*").over(w))
     multi = sized.filter(F.col("_sz") > 1)
     wo = Window.partitionBy("block_key").orderBy("url")
     ranked = multi.withColumn("_rk", F.row_number().over(wo))
-    # both consumers (kept -> self-join, cap metric count) share this
-    # subtree; materialize once so the band-UDF lineage runs once.
+    # both consumers (salted blocks -> self-join, salt metric count) share
+    # this subtree; materialize once so the band-UDF lineage runs once.
     ranked = ranked.localCheckpoint(eager=False)
-    kept = ranked.filter(F.col("_rk") <= max_block).select("block_key", "url")
-    cap_metrics = (
+    n_salts = F.ceil(F.col("_sz") / F.lit(max_block))
+    salted = ranked.select(
+        F.when(
+            F.col("_sz") <= max_block, F.col("block_key")
+        ).otherwise(
+            F.concat_ws("#", F.col("block_key"),
+                        (F.col("_rk") % n_salts).cast("string"))
+        ).alias("block_key"),
+        "url",
+    )
+    salt_metrics = (
         ranked.filter(F.col("_sz") > max_block)
         .groupBy("block_key")
         .agg(F.max("_sz").alias("block_size"),
-             F.lit(max_block).alias("kept"))
+             F.lit(max_block).alias("salt_target"))
     )
-    return kept, cap_metrics
+    return salted, salt_metrics

@@ -133,9 +133,9 @@ class DedupPipeline:
         pruned, cap_metrics = blocking.prune_blocks(blocks, self.cfg.max_block)
         if self.cfg.checkpoints:
             t0 = time.monotonic()
-            n_capped = cap_metrics.count()
+            n_salted = cap_metrics.count()
             self.stage_metrics.append(
-                {"stage": "blocks_capped", "rows_out": n_capped,
+                {"stage": "blocks_salted", "rows_out": n_salted,
                  "run_id": self.run_id,
                  "wall_ms": int((time.monotonic() - t0) * 1000)})
 

@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Local-mode shuffle goes through spark.local.dir; on this sandbox the
+    # default /tmp is disk-backed and becomes the critical path at high
+    # parallelism. Use tmpfs when present (a real cluster uses NVMe +
+    # network shuffle service instead).
+    shm = "/dev/shm/spark_local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

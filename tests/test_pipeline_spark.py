@@ -150,11 +150,11 @@ def test_spark_cc_matches_unionfind(spark):
     assert got == expect
 
 
-def test_blocks_capped_not_silent(spark, sig):
+def test_blocks_salted_not_silent(spark, sig):
     reps = blocking.exact_representatives(sig)
     blocks = blocking.all_blocks(reps)
     kept, cap_metrics = blocking.prune_blocks(blocks, max_block=2)
-    # with a tiny cap, caps MUST be reported
+    # with a tiny limit, salted blocks MUST be reported
     assert cap_metrics.count() > 0
     sizes = kept.groupBy("block_key").count().agg(F.max("count")).first()[0]
     assert sizes <= 2
