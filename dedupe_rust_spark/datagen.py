@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 
 from .functions.textcore import render_html
 
-GEN_VERSION = "3"
+GEN_VERSION = "4"
 EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
 N_HOSTS = 50
 
@@ -261,7 +261,9 @@ def materialize(sf_dir: str, out_dir: str, n_rows: int | None = None,
         return pages_path, pairs_path
     pages, pairs = generate(sf_dir, n_rows=n_rows, seed=seed)
     tbl = pa.Table.from_pandas(pages, schema=_PA_PAGES, preserve_index=False)
-    pq.write_table(tbl, pages_path)
+    # small row groups => the scan splits across tasks (a single row group
+    # would make the html read single-threaded in Spark)
+    pq.write_table(tbl, pages_path, row_group_size=8192)
     pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), pairs_path)
     with open(stamp, "w") as f:
         f.write(GEN_VERSION)
