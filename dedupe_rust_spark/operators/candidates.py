@@ -21,19 +21,28 @@ SIMHASH_HAMMING_MAX = 24
 SHORT_TEXT_BYPASS = 300
 
 
-def candidate_pairs(blocks: DataFrame) -> DataFrame:
+def candidate_pairs(blocks: DataFrame, keep_block_key: bool = True
+                    ) -> DataFrame:
+    """keep_block_key=False drops the key before the pair-dedup shuffle:
+    a near-dup pair is found by up to 32 bands, so the pre-dedup stream is
+    many times the distinct-pair count and every shuffled byte counts. The
+    retained key of a multi-band pair is arbitrary anyway."""
     a = blocks.alias("a")
     b = blocks.alias("b")
-    return (
+    joined = (
         a.join(b, "block_key")
         .filter(F.col("a.url") < F.col("b.url"))
-        .select(
+    )
+    if keep_block_key:
+        return joined.select(
             F.col("a.url").alias("url_a"),
             F.col("b.url").alias("url_b"),
             "block_key",
-        )
-        .dropDuplicates(["url_a", "url_b"])
-    )
+        ).dropDuplicates(["url_a", "url_b"])
+    return joined.select(
+        F.col("a.url").alias("url_a"),
+        F.col("b.url").alias("url_b"),
+    ).dropDuplicates(["url_a", "url_b"])
 
 
 def simhash_prefilter(pairs: DataFrame, sig: DataFrame,

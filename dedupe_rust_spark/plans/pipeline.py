@@ -139,7 +139,7 @@ class DedupPipeline:
                  "run_id": self.run_id,
                  "wall_ms": int((time.monotonic() - t0) * 1000)})
 
-        pairs = cand.candidate_pairs(pruned)
+        pairs = cand.candidate_pairs(pruned, keep_block_key=False)
         if self.cfg.simhash_prefilter:
             pairs = cand.simhash_prefilter(pairs, sig, self.cfg.max_hamming)
         pairs = self._checkpoint(pairs, "candidates")

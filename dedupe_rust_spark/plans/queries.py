@@ -418,6 +418,61 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(d, id_col="url", bin_col="content")
 
 
+def q_w1_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 longest pages per host (candidate-explosion
+    capping pattern, SURVEY.md §2.1 windows)."""
+    from pyspark.sql import Window
+
+    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull()).withColumn(
+        "host", F.regexp_extract(F.col("url"), r"https://([^/]+)/", 1)
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc(F.length("text")), F.asc("url")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("host", "url", F.length("text").cast("long").alias("n_chars"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_W1 = f"""
+    WITH dpages AS ({_DPAGES_SQL}),
+    d AS (
+      SELECT url, text, regexp_extract(url, 'https://([^/]+)/', 1) AS host
+      FROM dpages WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT host, url, length(text) AS n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY length(text) DESC, url ASC) AS rk
+      FROM d
+    )
+    SELECT host, url, n_chars, rk FROM r WHERE rk <= 3
+"""
+
+
+def q_set_unmirrored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op / anti join: canonical pages with NO mirror copy (the resume
+    pattern — skip already-processed keys, SURVEY.md §2.1 set ops)."""
+    d = dpages(spark, sf_dir)
+    base = d.filter(F.col("url").startswith("https://host"))
+    mirrored = d.filter(F.col("url").startswith("https://mirror"))
+    return base.join(mirrored.select("doc_id").distinct(), "doc_id",
+                     "left_anti").select("url", "doc_id")
+
+
+SQL_SET = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT url, doc_id FROM dpages b
+    WHERE url LIKE 'https://host%'
+      AND NOT EXISTS (
+        SELECT 1 FROM dpages m
+        WHERE m.url LIKE 'https://mirror%' AND m.doc_id = b.doc_id)
+"""
+
+
 # --- classic relational coverage over the TPC-H-ish tables -----------------
 
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +602,8 @@ def catalog():
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "w1_topk_per_host": q_w1_topk_per_host,
+        "set_unmirrored": q_set_unmirrored,
     }
     oracles = {
         "s6_lang_census": SQL_S6,
@@ -562,5 +619,7 @@ def catalog():
         "order_customer_join": SQL_ORDER_CUST,
         "emb_cosine_dups": SQL_EMB_DUPS,
         "quality_filter": SQL_QUALITY,
+        "w1_topk_per_host": SQL_W1,
+        "set_unmirrored": SQL_SET,
     }
     return queries, oracles
