@@ -473,6 +473,77 @@ SQL_SET = f"""
 """
 
 
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (batch
+    form of the streaming rollup; string-formatted bucket for engine-
+    portable comparison)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")),
+                           "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(bucket.alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window over event time per user: mean inter-event gap."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; session tz is UTC so the cast chain yields the
+    # same wall-clock seconds DuckDB's epoch(ts) produces
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"),
+             F.round(F.avg("gap"), 3).alias("avg_gap_s"))
+    )
+
+
+SQL_EVENTS_GAPS = """
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts) AS gap
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_gaps, round(avg(gap), 3) AS avg_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (semi-structured scalar fn)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+SQL_EVENTS_JSON = """
+    SELECT event_type, count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+           AS avg_k
+    FROM events GROUP BY event_type
+"""
+
+
 # --- classic relational coverage over the TPC-H-ish tables -----------------
 
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +675,9 @@ def catalog():
         "multimodal_features": q_multimodal_features,
         "w1_topk_per_host": q_w1_topk_per_host,
         "set_unmirrored": q_set_unmirrored,
+        "events_hourly": q_events_hourly,
+        "events_user_gaps": q_events_user_gaps,
+        "events_json_props": q_events_json_props,
     }
     oracles = {
         "s6_lang_census": SQL_S6,
@@ -621,5 +695,8 @@ def catalog():
         "quality_filter": SQL_QUALITY,
         "w1_topk_per_host": SQL_W1,
         "set_unmirrored": SQL_SET,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_user_gaps": SQL_EVENTS_GAPS,
+        "events_json_props": SQL_EVENTS_JSON,
     }
     return queries, oracles
