@@ -187,8 +187,10 @@ def main() -> None:
 
 
 def _write_baseline_md(report: dict) -> None:
+    # raw auto-dump of the latest run; BENCH/BASELINE.md is the curated
+    # record (headline numbers + analysis) and is updated by hand from this
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH", "BASELINE.md")
+                        "BENCH", "scaling_last_run.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     r8, r32 = report["local8"], report["local32"]
     with open(path, "w") as f:
