@@ -13,8 +13,9 @@ so the Spark-side plumbing (schema, batching, partitioning) is fully
 testable. Swap `_decode_real` for a PIL/libvips call on a real cluster.
 
 Header sniffing (dimensions without decoding — the reference's big
-optimization, dimensions.rs:24-178) IS implemented for PNG/GIF/JPEG: it
-reads only leading bytes, in pure Python, no codec needed.
+optimization, dimensions.rs:24-195) IS implemented for PNG/GIF/JPEG/WebP
+(VP8/VP8L/VP8X) and HEIC/HEIF (ISOBMFF ispe box): it reads only leading
+bytes, in pure Python, no codec needed.
 """
 
 from __future__ import annotations
@@ -41,9 +42,55 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
+
+_HEIC_BRANDS = {b"heic", b"heix", b"heif", b"hevc", b"mif1", b"msf1"}
+
+
+def _webp_dimensions(raw: bytes) -> tuple[str | None, int | None, int | None]:
+    """WebP VP8/VP8L/VP8X from the first 30 header bytes — byte-for-byte
+    the reference's semantics (dimensions.rs:135-178), including the masked
+    14-bit VP8 dims and the +1 encodings of VP8L/VP8X."""
+    if len(raw) < 30:
+        return None, None, None
+    h = raw
+    chunk = h[12:16]
+    if chunk == b"VP8 " and h[20] == 0x2A:
+        w = int.from_bytes(bytes([h[26], h[27] & 0x3F]), "little")
+        ht = int.from_bytes(bytes([h[28], h[29] & 0x3F]), "little")
+        return "webp", w, ht
+    if chunk == b"VP8L":
+        if h[20] != 0x2F:
+            return None, None, None
+        b1, b2, b3, b4 = h[21], h[22], h[23], h[24]
+        w = (b1 | ((b2 & 0x3F) << 8)) + 1
+        ht = ((b2 >> 6) | (b3 << 2) | ((b4 & 0x03) << 10)) + 1
+        return "webp", w, ht
+    if chunk == b"VP8X":
+        w = 1 + ((h[24] | (h[25] << 8) | (h[26] << 16)) & 0xFFFFFF)
+        ht = 1 + ((h[27] | (h[28] << 8) | (h[29] << 16)) & 0xFFFFFF)
+        return "webp", w, ht
+    return None, None, None
+
+
+def _heic_dimensions(raw: bytes) -> tuple[str | None, int | None, int | None]:
+    """HEIC/HEIF dims from the ISOBMFF `ispe` (image spatial extents) box.
+    The reference delegates to libheif (dimensions.rs:182-195, codec
+    unavailable here); the ispe box itself is plain bytes:
+    [size=20 u32be]['ispe'][version/flags u32][width u32be][height u32be].
+    None on any parse failure (reference silent-drop semantics)."""
+    i = raw.find(b"ispe")
+    while i != -1:
+        if i >= 4 and len(raw) >= i + 16:
+            size = struct.unpack(">I", raw[i - 4 : i])[0]
+            if size == 20:
+                w, h = struct.unpack(">II", raw[i + 8 : i + 16])
+                return "heic", w, h
+        i = raw.find(b"ispe", i + 1)
+    return None, None, None
 
 
 def sniff_dimensions(raw: bytes | None) -> tuple[str | None, int | None, int | None]:
@@ -57,6 +104,10 @@ def sniff_dimensions(raw: bytes | None) -> tuple[str | None, int | None, int | N
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", raw[6:10])
         return "gif", w, h
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        return _webp_dimensions(raw)
+    if len(raw) >= 12 and raw[4:8] == b"ftyp" and raw[8:12] in _HEIC_BRANDS:
+        return _heic_dimensions(raw)
     if raw[:2] == b"\xff\xd8":  # JPEG: walk segments to SOF0/SOF2
         i = 2
         while i + 9 < len(raw):
@@ -102,7 +153,7 @@ def image_features(df: DataFrame, id_col: str = "url",
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"content_id": [], "fmt": [], "width": [], "height": [],
-                   "feature": []}
+                   "n_bytes": [], "feature": []}
             for cid, raw in zip(pdf[id_col], pdf[bin_col]):
                 raw = None if raw is None else bytes(raw)
                 fmt, w, h = sniff_dimensions(raw)
@@ -110,6 +161,7 @@ def image_features(df: DataFrame, id_col: str = "url",
                 out["fmt"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
+                out["n_bytes"].append(None if raw is None else len(raw))
                 if raw and fmt:
                     out["feature"].append(
                         [float(v) for v in

@@ -207,9 +207,9 @@ def q_o3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_O3 = f"""
     WITH h AS ({_HASHED_SQL}),
     per_hash AS (SELECT th, count(*) AS n FROM h GROUP BY th)
-    SELECT sum(n) AS valid_pages, count(*) AS unique_texts,
-           sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup_pages,
-           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_groups
+    SELECT CAST(sum(n) AS BIGINT) AS valid_pages, count(*) AS unique_texts,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_pages,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
     FROM per_hash
 """
 
@@ -402,20 +402,75 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(d).select("url", "fingerprint")
 
 
+def _u8(v):
+    """One byte from the low 8 bits of an int column (JVM-side)."""
+    return F.unhex(F.lpad(F.hex(v.cast("long") % 256), 2, "0"))
+
+
+def _be32(v):
+    return F.unhex(F.lpad(F.hex(v.cast("long")), 8, "0"))
+
+
+def _le16(v):
+    return F.concat(_u8(v), _u8(F.shiftright(v.cast("long"), 8)))
+
+
+def _le24(v):
+    return F.concat(_u8(v), _u8(F.shiftright(v.cast("long"), 8)),
+                    _u8(F.shiftright(v.cast("long"), 16)))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: synthesize a tiny PNG-framed blob per doc
-    (deterministic), sniff header dims JVM-batched via mapInPandas, extract
-    fake features (rows-only; real codecs stubbed, operators/multimodal)."""
+    """Binary-column plumbing: frame each doc's text bytes behind a
+    synthetic image header — PNG / GIF / WebP-VP8X cycling by doc_id, with
+    per-row width/height — then header-sniff dims via the mapInPandas
+    feature extractor (operators/multimodal.sniff_dimensions, the analog
+    of the reference's header-only readers, dimensions.rs:24-178).
+
+    Output is all-scalar (fmt, width, height, n_bytes) so the DuckDB
+    oracle can recompute it arithmetically; the fake decode feature vector
+    is pytest-verified instead (arrays break the driver's canonicalizer).
+    """
     from ..operators.multimodal import image_features
 
-    # 8-byte PNG magic + minimal IHDR prefix carrying width=3, height=2
-    png_hdr = bytes.fromhex("89504e470d0a1a0a0000000d49484452"
-                            "00000003" "00000002")
+    w = (F.col("doc_id") % 97 + 1).cast("long")
+    h = (F.col("doc_id") % 53 + 1).cast("long")
+    png = F.concat(
+        F.lit(bytes.fromhex("89504e470d0a1a0a0000000d49484452")),
+        _be32(w), _be32(h),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), _le16(w), _le16(h))
+    webp = F.concat(
+        F.lit(b"RIFF\x00\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00"
+              b"\x00\x00\x00\x00"),
+        _le24(w - 1), _le24(h - 1),
+    )
+    hdr = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(webp)
+    )
     d = dpages(spark, sf_dir).filter(F.col("text").isNotNull()).select(
         "url",
-        F.concat(F.lit(png_hdr), F.encode(F.col("text"), "utf-8")).alias("content"),
+        F.concat(hdr, F.encode(F.col("text"), "utf-8")).alias("content"),
     )
-    return image_features(d, id_col="url", bin_col="content")
+    return image_features(d, id_col="url", bin_col="content").select(
+        "content_id", "fmt", "width", "height", "n_bytes"
+    )
+
+
+SQL_MULTIMODAL = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT url AS content_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'webp' END AS fmt,
+           CAST(doc_id % 97 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 53 + 1 AS INTEGER) AS height,
+           CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 10
+                     ELSE 30 END + octet_length(encode(text)) AS BIGINT)
+           AS n_bytes
+    FROM dpages WHERE text IS NOT NULL
+"""
 
 
 def q_w1_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,5 +753,6 @@ def catalog():
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_user_gaps": SQL_EVENTS_GAPS,
         "events_json_props": SQL_EVENTS_JSON,
+        "multimodal_features": SQL_MULTIMODAL,
     }
     return queries, oracles

@@ -55,11 +55,49 @@ class TestMultimodal:
                         "00000003" "00000002") + b"payload"
     GIF = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"x"
 
+    # WebP fixtures: hand-built 30-byte headers per the reference's reader
+    # (/root/reference/src/dimensions.rs:135-178)
+    WEBP_VP8 = (b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00\x00\x00\x00"
+                + bytes([0x2A])            # header[20] == 0x2A
+                + b"\x00\x00\x00\x00\x00"  # bytes 21-25
+                + (640).to_bytes(2, "little") + (480).to_bytes(2, "little"))
+    WEBP_VP8L = (b"RIFF\x00\x00\x00\x00WEBPVP8L" + b"\x00\x00\x00\x00"
+                 + bytes([0x2F])
+                 # 14-bit fields: (w-1)=99, (h-1)=49 packed little-endian
+                 + bytes([99 & 0xFF, (99 >> 8) | ((49 & 0x03) << 6),
+                          (49 >> 2) & 0xFF, 0, 0]) + b"\x00" * 4)
+    WEBP_VP8X = (b"RIFF\x00\x00\x00\x00WEBPVP8X" + b"\x0a\x00\x00\x00"
+                 + b"\x00\x00\x00\x00"
+                 + (11).to_bytes(3, "little") + (7).to_bytes(3, "little"))
+    # minimal ISOBMFF: ftyp(heic) + meta carrying an ispe box (size=20)
+    HEIC = ((24).to_bytes(4, "big") + b"ftypheic" + b"\x00\x00\x00\x00"
+            + b"mif1heic"
+            + (20).to_bytes(4, "big") + b"ispe" + b"\x00\x00\x00\x00"
+            + (1920).to_bytes(4, "big") + (1080).to_bytes(4, "big"))
+
     def test_sniff_dimensions(self):
         assert multimodal.sniff_dimensions(self.PNG) == ("png", 3, 2)
         assert multimodal.sniff_dimensions(self.GIF) == ("gif", 7, 9)
         assert multimodal.sniff_dimensions(b"garbage123") == (None, None, None)
         assert multimodal.sniff_dimensions(None) == (None, None, None)
+
+    def test_sniff_webp_variants(self):
+        assert multimodal.sniff_dimensions(self.WEBP_VP8) == ("webp", 640, 480)
+        assert multimodal.sniff_dimensions(self.WEBP_VP8L) == ("webp", 100, 50)
+        assert multimodal.sniff_dimensions(self.WEBP_VP8X) == ("webp", 12, 8)
+        # bad VP8L signature byte -> parse failure, reference semantics
+        bad = bytearray(self.WEBP_VP8L)
+        bad[20] = 0x00
+        assert multimodal.sniff_dimensions(bytes(bad)) == (None, None, None)
+
+    def test_sniff_heic_ispe(self):
+        assert multimodal.sniff_dimensions(self.HEIC) == ("heic", 1920, 1080)
+        # ftyp with non-heif brand is not claimed
+        not_heic = self.HEIC.replace(b"ftypheic", b"ftypmp42")
+        assert multimodal.sniff_dimensions(not_heic) == (None, None, None)
+        # heic brand but no ispe box -> silent drop
+        assert multimodal.sniff_dimensions(
+            self.HEIC[:24]) == (None, None, None)
 
     def test_decode_stub_raises_without_fake(self):
         with pytest.raises(NotImplementedError):
