@@ -93,6 +93,76 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn("bucket", bucket)
 
 
+def srp_band_blocks(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", bits: int = 4,
+                    n_tables: int = 8, dim: int = 64, seed: int = 42
+                    ) -> DataFrame:
+    """All SRP tables in ONE pass: -> (id, block_key) rows via a single
+    posexplode, the same banding shape as MinHash-LSH (blocking.lsh_blocks).
+    One scan, one explode, no per-table union — at 10^9 rows this is one
+    shuffle-join key stream instead of n_tables separate plans."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * bits, dim))
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("long")
+        for i in range(bits):
+            row = planes[t * bits + i]
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in row]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        buckets.append(b)
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*buckets)).alias("table", "bucket")
+    ).select(
+        F.concat_ws(":", F.col("table"), F.col("bucket")).alias("block_key"),
+        id_col,
+    )
+
+
+def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bits: int = 4, n_tables: int = 64, dim: int = 64,
+                     seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs via bucketed LSH: only same-bucket pairs are
+    scored — the 100TB-shaped twin of the brute-force theta join
+    (plans/queries.q_emb_cosine_dups). Strong OR-amplification (default 64
+    tables x 4 bits) makes recall at `threshold` effectively 1 on small
+    corpora, so the brute-force DuckDB SQL is a hard equality oracle.
+
+    Scale dial: bits grows with corpus size (bucket count 2^bits bounds the
+    per-bucket self-join); tables buy back the recall that extra bits cost.
+    """
+    ids = df.select(id_col, vec_col)
+    blocks = srp_band_blocks(ids, id_col, vec_col, bits, n_tables, dim, seed)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("vec_id_a"),
+                F.col(f"b.{id_col}").alias("vec_id_b"))
+        .distinct()
+    )
+    va = ids.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    vb = ids.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "vec_id_a").join(vb, "vec_id_b")
+        .withColumn("cosine", F.round(_dot(F.col("va"), F.col("vb"))
+                                      / (_norm(F.col("va")) * _norm(F.col("vb"))), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
 def lsh_cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     bits: int = 4, n_tables: int = 8, dim: int = 64

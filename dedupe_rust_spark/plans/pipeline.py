@@ -43,6 +43,29 @@ class PipelineConfig:
     checkpoints: bool = True
 
 
+def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None
+                   ) -> DataFrame:
+    """The full fuzzy dedup dataflow on an in-memory DataFrame — same stage
+    composition as DedupPipeline.run() but checkpoint-free, for catalog /
+    invariant queries that derive `pages` from the driver's tables instead
+    of a parquet dir. Returns labels (url, cluster_id), clustered rows only.
+    """
+    cfg = cfg or PipelineConfig(checkpoints=False)
+    sig = sigs.signatures(sigs.extract(pages, cfg.use_golden_text))
+    sig = sig.localCheckpoint()  # consumed by 4 downstream subtrees
+    ex_map = blocking.exact_group_map(sig)
+    reps = blocking.exact_representatives(sig)
+    pruned, _ = blocking.prune_blocks(blocking.all_blocks(reps),
+                                      cfg.max_block)
+    pairs = cand.candidate_pairs(pruned, keep_block_key=False)
+    if cfg.simhash_prefilter:
+        pairs = cand.simhash_prefilter(pairs, sig, cfg.max_hamming)
+    scores = scoring.score_candidates(pairs, sig, cfg.lev_match,
+                                      cfg.jaccard_match)
+    rep_labels = cluster.connected_components(scoring.match_edges(scores))
+    return cluster.propagate_to_members(rep_labels, ex_map)
+
+
 class DedupPipeline:
     def __init__(self, spark: SparkSession, pages_dir: str,
                  out_dir: str | None = None, run_id: str | None = None,

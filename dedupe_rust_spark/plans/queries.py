@@ -648,28 +648,148 @@ SQL_ORDER_CUST = """
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible queries (rows-only driver check; pytest oracles cover
-# their semantics — see tests/)
+# Fuzzy-tier queries. Where full output equality is SQL-expressible the
+# oracle is exact; otherwise the query is shaped as an INVARIANT whose
+# expected value IS SQL-expressible (exact-group containment, LSH recall,
+# signature consistency) — hard CORRECTNESS rows for the non-SQL operators.
 # ---------------------------------------------------------------------------
+
+def _dpages_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dpages reshaped to the pages(url, warc_ts, html, text, lang) schema
+    (+host) the pipeline stages consume; html = utf-8 bytes of text."""
+    return dpages(spark, sf_dir).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        "text", "lang",
+    ).withColumn("host", F.parse_url("url", F.lit("HOST")))
+
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banded candidate pairs over dpages (fuzzy blocking)."""
     from ..operators import blocking
+    from ..operators.candidates import candidate_pairs
     from ..operators.signatures import signatures as sig_stage
 
-    pages = dpages(spark, sf_dir).select(
-        "url",
-        F.lit(None).cast("timestamp").alias("warc_ts"),
-        F.lit(None).cast("binary").alias("html"),
-        "text", "lang",
-    ).withColumn("host", F.parse_url("url", F.lit("HOST")))
-    # signatures() expects extracted text; reuse the stage with golden text
-    sig = sig_stage(pages.withColumn("html", F.col("text").cast("binary")))
+    sig = sig_stage(_dpages_as_pages(spark, sf_dir))
     reps = blocking.exact_representatives(sig)
     blocks = blocking.lsh_blocks(reps)
     pruned, _ = blocking.prune_blocks(blocks)
-    from ..operators.candidates import candidate_pairs
     return candidate_pairs(pruned)
+
+
+def q_inv_exact_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for the full pipeline (C1/D2 containment): run the
+    complete fuzzy blocking->scoring->CC dataflow on dpages, then assert in
+    the OUTPUT that every exact-duplicate group (>= 2 identical texts) is
+    wholly inside ONE cluster: per group, (members found, distinct cluster
+    ids) must equal (group size, 1) — which is exactly what the DuckDB twin
+    computes from first principles. The reference's semantics anchor:
+    equality groups ARE clusters (main.rs:616-624)."""
+    from .pipeline import PipelineConfig, dedup_clusters
+
+    out = dedup_clusters(_dpages_as_pages(spark, sf_dir),
+                         PipelineConfig(use_golden_text=True,
+                                        checkpoints=False))
+    h = _hashed(spark, sf_dir).select("url", "th")
+    groups = (h.groupBy("th").agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") > 1).select("th"))
+    members = h.join(groups, "th").join(out, "url")
+    return members.groupBy("th").agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+
+
+SQL_INV_EXACT = f"""
+    WITH h AS ({_HASHED_SQL})
+    SELECT th, count(*) AS n_pages, CAST(1 AS BIGINT) AS n_clusters
+    FROM h GROUP BY th HAVING count(*) > 1
+"""
+
+
+def q_inv_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for LSH blocking recall (B1-fuzzy): candidates produced
+    by the banded LSH path (no exact-collapse) must contain EVERY
+    exact-duplicate pair — identical texts share all 32 band keys. The
+    query returns exact pairs that LSH found; the oracle returns all exact
+    pairs; equality <=> recall 1 on the exact tier."""
+    from ..operators import blocking
+    from ..operators.candidates import candidate_pairs
+    from ..operators.signatures import signatures as sig_stage
+
+    sig = sig_stage(_dpages_as_pages(spark, sf_dir)).localCheckpoint()
+    pruned, _ = blocking.prune_blocks(blocking.lsh_blocks(sig))
+    cands = candidate_pairs(pruned, keep_block_key=False)
+    s = sig.select("url", "text_sha256")
+    a, b = s.alias("a"), s.alias("b")
+    exact_pairs = (
+        a.join(b, "text_sha256")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
+    return exact_pairs.join(cands, ["url_a", "url_b"])
+
+
+SQL_INV_LSH = f"""
+    WITH h AS ({_HASHED_SQL})
+    SELECT a.url AS url_a, b.url AS url_b
+    FROM h a JOIN h b ON a.th = b.th AND a.url < b.url
+"""
+
+
+def q_inv_simhash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for the SimHash UDF (H1-fuzzy determinism): identical
+    texts must get identical simhashes — per exact group, distinct simhash
+    count is 1."""
+    from ..functions.udfs import signatures_udf
+
+    d = _hashed(spark, sf_dir).withColumn(
+        "simhash", signatures_udf(F.col("text")).getField("simhash"))
+    return (
+        d.groupBy("th")
+        .agg(F.count("*").alias("n_pages"),
+             F.count_distinct("simhash").alias("n_sims"))
+        .filter(F.col("n_pages") > 1)
+        .select("th", "n_pages", F.col("n_sims").alias("n_clusters"))
+    )
+
+
+def q_inv_fingerprint_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for the winnowing fingerprint UDF: identical texts ->
+    identical fingerprints (distinct count 1 per exact group)."""
+    from ..operators.textops import fingerprints
+
+    d = fingerprints(_hashed(spark, sf_dir))
+    return (
+        d.groupBy("th")
+        .agg(F.count("*").alias("n_pages"),
+             F.count_distinct("fingerprint").alias("n_clusters"))
+        .filter(F.col("n_pages") > 1)
+    )
+
+
+def q_lsh_emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via bucketed SRP-LSH — the 100TB-shaped
+    scale twin of q_emb_cosine_dups (same output, same DuckDB oracle): only
+    same-bucket pairs are scored; 64 tables x 4 bits drive recall at
+    cosine>=0.35 to 1 on this corpus, so brute force is an equality oracle."""
+    from ..operators.ann import lsh_cosine_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_cosine_pairs(emb, threshold=0.35)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k (SRP multi-table OR-amplification) for 10 probes
+    — the scale path of q_ann_cosine_topk (rows-only: ranking ties under
+    float summation differ across engines; recall vs brute force is
+    pytest-asserted in tests/test_operators_spark.py)."""
+    from ..operators.ann import lsh_cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, probes, k=5, bits=4, n_tables=8)
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,8 +842,14 @@ def catalog():
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_signatures": q_simhash_signatures,
         "full_dedup_clusters": q_full_dedup_clusters,
+        "inv_exact_containment": q_inv_exact_containment,
+        "inv_lsh_recall": q_inv_lsh_recall,
+        "inv_simhash_consistent": q_inv_simhash_consistent,
+        "inv_fingerprint_consistent": q_inv_fingerprint_consistent,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
         "emb_cosine_dups": q_emb_cosine_dups,
+        "lsh_emb_dups": q_lsh_emb_dups,
         "quality_filter": q_quality_filter,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
@@ -747,6 +873,11 @@ def catalog():
         "lineitem_pricing": SQL_LINEITEM,
         "order_customer_join": SQL_ORDER_CUST,
         "emb_cosine_dups": SQL_EMB_DUPS,
+        "lsh_emb_dups": SQL_EMB_DUPS,
+        "inv_exact_containment": SQL_INV_EXACT,
+        "inv_lsh_recall": SQL_INV_LSH,
+        "inv_simhash_consistent": SQL_INV_EXACT,
+        "inv_fingerprint_consistent": SQL_INV_EXACT,
         "quality_filter": SQL_QUALITY,
         "w1_topk_per_host": SQL_W1,
         "set_unmirrored": SQL_SET,
