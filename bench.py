@@ -54,7 +54,7 @@ def _warmup(spark) -> None:
     )
     df = df.withColumn("text", extract_text_udf("html"))
     df = df.withColumn("sig", signatures_udf("text"))
-    df = df.withColumn("s", score_pairs_udf("text", "text"))
+    df = df.withColumn("s", score_pairs_udf("text", "text", F.lit(0.5)))
     df.write.format("noop").mode("overwrite").save()
 
 

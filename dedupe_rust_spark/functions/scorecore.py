@@ -286,9 +286,12 @@ def jaccard_batch(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
 
 
 def score_batch(texts_a: list[str], texts_b: list[str]
-                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Hot-path scorer batch: (jw, lev_sim) only. Jaccard is estimated
+    JVM-side from MinHash signatures (operators/scoring.py) — re-shingling
+    both texts per pair here was round-1's dominant Python cost; the exact
+    shingle Jaccard above stays as the pytest oracle for the estimate."""
     return (
         jw_batch(texts_a, texts_b),
         lev_sim_batch(texts_a, texts_b),
-        jaccard_batch(texts_a, texts_b),
     )

@@ -3,8 +3,9 @@
 Exactly three UDF families (SURVEY.md §2.1), everything else is built-in
 Catalyst expressions:
   * extract_text_udf : html binary -> text        (parity-critical, G3/D3)
-  * signatures_udf   : text -> (simhash, LSH bands) (H1 generalization)
-  * score_pairs_udf  : (text_a, text_b) -> (jw, lev_sim, jaccard) (D1/D2)
+  * signatures_udf   : text -> (simhash, LSH bands, minhash) (H1 gen.)
+  * score_pairs_udf  : (text_a, text_b) -> (jw, lev_sim) (D1/D2; jaccard
+    is MinHash-estimated JVM-side in operators/scoring.py)
 
 All are Series-scalar UDFs over Arrow batches; the inner loops are the
 numpy-vectorized cores in textcore / sigcore / scorecore.
@@ -35,28 +36,43 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 @pandas_udf(SIG_UDF_RESULT)
 def signatures_udf(text: pd.Series) -> pd.DataFrame:
-    """text -> (simhash, 32 LSH band bucket keys). MinHash (k=128) is
-    computed internally and immediately banded — raw signatures never
-    cross the Arrow boundary (SIG_UDF_RESULT note in schemas.py)."""
+    """text -> (simhash, 32 LSH band bucket keys, low-32 MinHash values).
+    The truncated MinHash rides along so scoring can estimate Jaccard
+    JVM-side (SIG_UDF_RESULT note in schemas.py)."""
     simhashes: list[int | None] = []
     bands: list[list[int] | None] = []
+    minhashes: list[list[int] | None] = []
     for t in text:
         if t is None or (isinstance(t, float) and pd.isna(t)):
             simhashes.append(None)
             bands.append(None)
+            minhashes.append(None)
             continue
         simhashes.append(_to_i64(sigcore.simhash64(t)))
         sig = sigcore.minhash(t)
         bands.append([_to_i64(k) for k in sigcore.band_keys(sig)])
-    return pd.DataFrame({"simhash": simhashes, "bands": bands})
+        minhashes.append(
+            [int(v) for v in sig.astype(np.uint32).astype(np.int32)])
+    return pd.DataFrame(
+        {"simhash": simhashes, "bands": bands, "minhash": minhashes})
+
+
+# MinHash-estimate decision band: estimates inside it are refined with the
+# exact shingle Jaccard (k=128 => sigma ~0.044 at j=0.5; the band is ~±4.5
+# sigma around the 0.50 match threshold). Outside it the estimate cannot
+# flip the match decision, so the expensive re-shingling is skipped — the
+# reference's cheap->expensive cascade applied to the scorer itself.
+JACC_REFINE_LO = 0.30
+JACC_REFINE_HI = 0.70
 
 
 @pandas_udf(SCORE_UDF_RESULT)
-def score_pairs_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
+def score_pairs_udf(text_a: pd.Series, text_b: pd.Series,
+                    jacc_est: pd.Series) -> pd.DataFrame:
     n = len(text_a)
     jw = np.zeros(n)
     lev = np.zeros(n)
-    jac = np.zeros(n)
+    jac = jacc_est.to_numpy(dtype=np.float64, na_value=0.0).copy()
     keep = [
         i for i, (a, b) in enumerate(zip(text_a, text_b))
         if isinstance(a, str) and isinstance(b, str)
@@ -64,8 +80,13 @@ def score_pairs_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
     if keep:
         ta = [text_a.iloc[i] for i in keep]
         tb = [text_b.iloc[i] for i in keep]
-        bjw, blev, bjac = scorecore.score_batch(ta, tb)
+        bjw, blev = scorecore.score_batch(ta, tb)
         jw[keep] = bjw
         lev[keep] = blev
-        jac[keep] = bjac
+        refine = [i for i in keep
+                  if JACC_REFINE_LO <= jac[i] <= JACC_REFINE_HI]
+        if refine:
+            jac[refine] = scorecore.jaccard_batch(
+                [text_a.iloc[i] for i in refine],
+                [text_b.iloc[i] for i in refine])
     return pd.DataFrame({"jaro_winkler": jw, "lev_sim": lev, "jaccard": jac})

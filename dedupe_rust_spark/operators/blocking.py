@@ -98,34 +98,39 @@ def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
                  ) -> tuple[DataFrame, DataFrame]:
     """Drop singleton blocks (HAVING count>1, reference main.rs:418-421) and
     SALT oversized ones: a block of size m > max_block is split
-    deterministically (by url rank) into ceil(m/max_block) sub-blocks, so
-    no row is dropped but per-block pair count stays O(max_block^2).
+    deterministically (by url hash) into ceil(m/max_block) sub-blocks, so
+    no row is dropped but per-block pair count stays O(max_block^2)
+    (statistical bound — hash placement, not rank balancing).
     Cross-sub-block pairs of a salted block are recovered by the other 31
     bands / title key with high probability. Returns (salted_blocks,
     salt_metrics) — every salted block is REPORTED, never silent
-    (SURVEY.md §4.3.1)."""
-    w = Window.partitionBy("block_key")
-    sized = blocks.withColumn("_sz", F.count("*").over(w))
-    multi = sized.filter(F.col("_sz") > 1)
-    wo = Window.partitionBy("block_key").orderBy("url")
-    ranked = multi.withColumn("_rk", F.row_number().over(wo))
-    # both consumers (salted blocks -> self-join, salt metric count) share
-    # this subtree; materialize once so the band-UDF lineage runs once.
-    ranked = ranked.localCheckpoint(eager=False)
-    n_salts = F.ceil(F.col("_sz") / F.lit(max_block))
-    salted = ranked.select(
+    (SURVEY.md §4.3.1).
+
+    Scale shape: block sizes come from a map-side-combinable groupBy (tiny
+    result, one row per multi-member key) joined back onto the band stream
+    — AQE broadcasts it, so the band rows are never shuffled OR sorted
+    here; the only full shuffle of band rows is the candidate self-join.
+    (Round-1 used two windows — count + row_number — which sorted every
+    band row per key and capped candidate-stage scaling at ~2.6x/4.)"""
+    sizes = (
+        blocks.groupBy("block_key")
+        .agg(F.count("*").alias("_sz"))
+        .filter(F.col("_sz") > 1)
+    )
+    multi = blocks.join(sizes, "block_key")
+    n_salts = F.ceil(F.col("_sz") / F.lit(max_block)).cast("long")
+    salted = multi.select(
         F.when(
             F.col("_sz") <= max_block, F.col("block_key")
         ).otherwise(
             F.concat_ws("#", F.col("block_key"),
-                        (F.col("_rk") % n_salts).cast("string"))
+                        F.pmod(F.xxhash64("url"), n_salts).cast("string"))
         ).alias("block_key"),
         "url",
     )
-    salt_metrics = (
-        ranked.filter(F.col("_sz") > max_block)
-        .groupBy("block_key")
-        .agg(F.max("_sz").alias("block_size"),
-             F.lit(max_block).alias("salt_target"))
+    salt_metrics = sizes.filter(F.col("_sz") > max_block).select(
+        "block_key",
+        F.col("_sz").alias("block_size"),
+        F.lit(max_block).alias("salt_target"),
     )
     return salted, salt_metrics

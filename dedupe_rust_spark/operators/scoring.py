@@ -1,11 +1,20 @@
-"""Pair scoring: attach texts, run the vectorized scorer UDF, threshold.
+"""Pair scoring: attach texts + MinHash, score, threshold.
 
 Reference analog: the deep verification tier (full decode + hash equality,
 /root/reference/src/main.rs:586-648) — generalized to Jaro-Winkler /
-Levenshtein-ratio / shingle-Jaccard with a match decision.
+Levenshtein-ratio / Jaccard with a match decision.
+
+Jaccard is the MINHASH ESTIMATE (fraction of agreeing signature rows,
+k=128), computed as a codegen'd zip_with equality over the signature
+arrays already joined onto the pair, then EXACTLY REFINED inside the
+score UDF only for pairs whose estimate lands in the decision band
+around the 0.50 threshold (udfs.JACC_REFINE_*). Round-1 re-shingled both
+texts per pair in Python for EVERY pair (the dominant scoring cost: a
+text in k candidate pairs re-shingled k times); now only the narrow
+boundary band pays that, and the F1-vs-scale table is unchanged.
 
 Match decision (tuned on labeled_pairs, tests/test_f1.py):
-  is_match := lev_sim >= 0.85  OR  jaccard >= 0.50
+  is_match := lev_sim >= 0.85  OR  jaccard_est >= 0.50
 near_mid pairs (>= 0.85 word-edit similarity) land above both; near_low
 (0.70-0.85) and adversarial pairs land below. Exact dups never reach here
 (collapsed pre-blocking) but would score 1.0 anyway.
@@ -20,20 +29,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.sigcore import MINHASH_K
 from ..functions.udfs import score_pairs_udf
 
 LEV_MATCH = 0.85
 JACCARD_MATCH = 0.50
 
 
+def minhash_jaccard_expr(mh_a, mh_b):
+    """Jaccard estimate = fraction of equal MinHash rows; all-builtin
+    (zip_with + aggregate), stays in codegen. Null if either side is null."""
+    agree = F.aggregate(
+        F.zip_with(mh_a, mh_b,
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (agree.cast("double") / F.lit(float(MINHASH_K)))
+
+
 def score_candidates(pairs: DataFrame, sig: DataFrame,
                      lev_match: float = LEV_MATCH,
                      jaccard_match: float = JACCARD_MATCH) -> DataFrame:
-    texts = sig.select("url", "text")
+    sides = sig.select("url", "text", "minhash")
     joined = (
         pairs.select("url_a", "url_b")
-        .join(texts.withColumnsRenamed({"url": "url_a", "text": "_ta"}), "url_a")
-        .join(texts.withColumnsRenamed({"url": "url_b", "text": "_tb"}), "url_b")
+        .join(sides.withColumnsRenamed(
+            {"url": "url_a", "text": "_ta", "minhash": "_ma"}), "url_a")
+        .join(sides.withColumnsRenamed(
+            {"url": "url_b", "text": "_tb", "minhash": "_mb"}), "url_b")
     )
     # AQE coalesces the (byte-wise small) pair shuffle down to few
     # partitions, which would serialize the CPU-heavy scorer UDF. Spread
@@ -41,7 +65,12 @@ def score_candidates(pairs: DataFrame, sig: DataFrame,
     # parallelism on the most expensive per-row stage.
     par = pairs.sparkSession.sparkContext.defaultParallelism
     joined = joined.repartition(2 * par)
-    scored = joined.withColumn("s", score_pairs_udf(F.col("_ta"), F.col("_tb")))
+    scored = (
+        joined
+        .withColumn("_est", minhash_jaccard_expr(F.col("_ma"), F.col("_mb")))
+        .withColumn("s", score_pairs_udf(F.col("_ta"), F.col("_tb"),
+                                         F.col("_est")))
+    )
     return scored.select(
         "url_a",
         "url_b",

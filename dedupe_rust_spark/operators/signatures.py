@@ -48,6 +48,7 @@ def signatures(extracted: DataFrame) -> DataFrame:
             "text_sha256", "prefix_hash",
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
+            F.col("sig.minhash").alias("minhash"),
             "n_chars",
         )
     )

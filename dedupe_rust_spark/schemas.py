@@ -27,17 +27,22 @@ SIGNATURES = T.StructType(
         T.StructField("prefix_hash", T.LongType(), True),
         T.StructField("simhash", T.LongType(), True),
         T.StructField("bands", T.ArrayType(T.LongType()), True),
+        T.StructField("minhash", T.ArrayType(T.IntegerType()), True),
         T.StructField("n_chars", T.IntegerType(), True),
     ]
 )
 
-# The signature UDF emits LSH band bucket keys directly (32 longs) rather
-# than the raw 128-long MinHash signature: 4x fewer bytes through Arrow and
-# checkpoints, and blocking needs no second Python pass (posexplode only).
+# The signature UDF emits LSH band bucket keys (32 longs) plus the MinHash
+# signature truncated to its low 32 bits per row (128 ints, 512 B): the
+# truncation changes the Jaccard estimate only via 2^-32 collisions, and
+# carrying it lets scoring estimate Jaccard JVM-side (zip_with equality)
+# instead of re-shingling both texts per pair in Python (round-1's hottest
+# Python path, 77% of pipeline wall in score+CC).
 SIG_UDF_RESULT = T.StructType(
     [
         T.StructField("simhash", T.LongType(), True),
         T.StructField("bands", T.ArrayType(T.LongType()), True),
+        T.StructField("minhash", T.ArrayType(T.IntegerType()), True),
     ]
 )
 
@@ -67,6 +72,8 @@ SCORES = T.StructType(
     ]
 )
 
+# jaccard in = the JVM-side MinHash estimate (scoring.py); jaccard out = the
+# estimate, exactly refined inside the decision band (udfs.JACC_REFINE_*)
 SCORE_UDF_RESULT = T.StructType(
     [
         T.StructField("jaro_winkler", T.DoubleType(), True),

@@ -209,9 +209,24 @@ class TestBatchScorers:
         pairs = self._pairs()
         ta = [p[0] for p in pairs]
         tb = [p[1] for p in pairs]
-        bjw, blev, bjac = scorecore.score_batch(ta, tb)
+        bjw, blev = scorecore.score_batch(ta, tb)
+        bjac = scorecore.jaccard_batch(ta, tb)
         for i, (a, b) in enumerate(pairs):
             jw, lev, jac = scorecore.score_pair(a, b)
             assert abs(jw - bjw[i]) < 1e-9, (i, a[:30], b[:30])
             assert abs(lev - blev[i]) < 1e-9, (i, a[:30], b[:30])
             assert abs(jac - bjac[i]) < 1e-9, (i, a[:30], b[:30])
+
+    def test_minhash_low32_estimate_matches_full(self):
+        """The low-32 truncation shipped to Spark must give the same
+        Jaccard estimate as the full 61-bit signatures (collisions 2^-32)."""
+        import numpy as np
+
+        pairs = [p for p in self._pairs() if p[0] and p[1]][:40]
+        for a, b in pairs:
+            sa, sb = sigcore.minhash(a), sigcore.minhash(b)
+            full = sigcore.minhash_jaccard(sa, sb)
+            ta = sa.astype(np.uint32).astype(np.int32)
+            tb = sb.astype(np.uint32).astype(np.int32)
+            trunc = float(np.mean(ta == tb))
+            assert abs(full - trunc) < 1e-9, (a[:30], b[:30])
