@@ -259,6 +259,11 @@ def materialize(sf_dir: str, out_dir: str, n_rows: int | None = None,
     stamp = os.path.join(out_dir, f".stamp_v{GEN_VERSION}_s{seed}_n{n_rows}")
     if not force and os.path.exists(stamp):
         return pages_path, pairs_path
+    # regenerating: drop every other stamp so a dir can never satisfy two
+    # different (version, seed, n_rows) requests at once (stale-cache trap)
+    for f in os.listdir(out_dir):
+        if f.startswith(".stamp_"):
+            os.unlink(os.path.join(out_dir, f))
     pages, pairs = generate(sf_dir, n_rows=n_rows, seed=seed)
     tbl = pa.Table.from_pandas(pages, schema=_PA_PAGES, preserve_index=False)
     # small row groups => the scan splits across tasks (a single row group
@@ -271,11 +276,13 @@ def materialize(sf_dir: str, out_dir: str, n_rows: int | None = None,
 
 
 def pages_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42) -> str:
-    """Default cache location for a given sf_dir, under the repo."""
+    """Default cache location for a given sf_dir, under the repo. The seed
+    is part of the directory tag (non-default seeds get their own dir) so
+    concurrent seeds never share a cache dir."""
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".data")
     tag = os.path.basename(os.path.normpath(sf_dir)) + (
         f"_n{n_rows}" if n_rows else ""
-    )
+    ) + (f"_s{seed}" if seed != 42 else "")
     out = os.path.abspath(os.path.join(base, tag))
     materialize(sf_dir, out, n_rows=n_rows, seed=seed)
     return out

@@ -21,6 +21,7 @@ SIG_VERSION = "1"
 SHINGLE_N = 3          # word 3-grams, SURVEY.md §2 H1 mapping
 MINHASH_K = 128        # signature length
 LSH_BANDS = 32         # 32 bands x 4 rows: catches jaccard >= ~0.7 w.h.p.
+                       # (empirical under the mixing family — see minhash())
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
 _MERSENNE = (1 << 61) - 1
@@ -69,12 +70,19 @@ def simhash64(text: str) -> int:
 
 
 def minhash(text: str, k: int = MINHASH_K) -> np.ndarray:
-    """k-length uint64 MinHash signature via (a*h+b) mod 2^61-1 permutations."""
+    """k-length uint64 MinHash signature.
+
+    Hash family note: `_PERM_A * hs` wraps mod 2^64 BEFORE the `% _MERSENNE`
+    fold, so each map is `((a*h mod 2^64) + b) mod (2^61-1)` — an ad-hoc
+    deterministic mixing family, NOT the exact Carter-Wegman (a*h+b) mod p
+    universal hash. It is seed-pinned and process-independent; the empirical
+    collision behavior backs the LSH banding (tests/test_cores.py asserts
+    the Jaccard-estimate accuracy, and BENCH/BASELINE.md's F1 table holds
+    across scales). Exact 128-bit modular arithmetic would cost a split
+    multiply per element for no measured recall gain."""
     hs = shingle_hashes(text)
     if hs.size == 0:
         return np.full(k, _EMPTY_SENTINEL, dtype=np.uint64)
-    # (k, m) permuted matrix; uint64 wrap-around is fine pre-modulo because
-    # the modulus is applied to the wrapped value consistently everywhere.
     perm = (_PERM_A[:k, None] * hs[None, :] + _PERM_B[:k, None]) % _MERSENNE
     return perm.min(axis=1)
 

@@ -77,11 +77,35 @@ class DedupPipeline:
         self.cfg = config or PipelineConfig()
         self.stage_metrics: list[dict] = []
 
+    @property
+    def cfg_fingerprint(self) -> str:
+        """Checkpoint outputs bake in config values (thresholds, caps,
+        prefilter) — a rerun under the same run_id but a different config
+        must NOT silently reuse stale stage parquet. The fingerprint keys
+        the checkpoint path on everything that changes stage outputs."""
+        import hashlib
+        import json
+
+        c = self.cfg
+        payload = json.dumps(
+            {
+                "algo": ALGO_VERSION,
+                "lev": c.lev_match, "jacc": c.jaccard_match,
+                "max_block": c.max_block,
+                "prefilter": c.simhash_prefilter, "hamming": c.max_hamming,
+                "golden": c.use_golden_text,
+                "exclude": sorted(c.exclude_hosts),
+            },
+            sort_keys=True,
+        )
+        return hashlib.blake2b(payload.encode(), digest_size=4).hexdigest()
+
     # ------------------------------------------------------------ checkpoints
     def _ckpt_path(self, stage: str) -> str | None:
         if self.out_dir is None:
             return None
-        return os.path.join(self.out_dir, stage, f"run_id={self.run_id}")
+        return os.path.join(self.out_dir, stage, f"run_id={self.run_id}",
+                            f"cfg={self.cfg_fingerprint}")
 
     def _checkpoint(self, df: DataFrame, stage: str) -> DataFrame:
         """Write stage output and read it back (cuts lineage + resumable).
@@ -191,21 +215,23 @@ class DedupPipeline:
         self._write_metrics()
         return clusters
 
-    def write_report(self, clusters: DataFrame) -> dict:
+    def write_report(self, clusters: DataFrame,
+                     max_inline_groups: int = 1000) -> dict:
         """Reference O2 analog: the run report JSON
         (`Results`/`DuplicateGroup`, main.rs:38-49; sorted groups 310-315,
-        sorted members 630). Driver-side only for the small summary; the
-        full clusters live in parquet."""
+        sorted members 630). The driver collect is CAPPED: totals plus the
+        first `max_inline_groups` groups are inlined; the full cluster set
+        lives in the clusters parquet (at 100x scale an unbounded group
+        list with member URLs is a driver OOM)."""
         import json
 
-        groups = (
-            cluster.clusters_with_members(clusters)
-            .orderBy("cluster_id")
-            .collect()
-        )
+        grouped = cluster.clusters_with_members(clusters)
+        total_groups = grouped.count()
+        groups = grouped.orderBy("cluster_id").limit(max_inline_groups).collect()
         report = {
             "run_id": self.run_id,
-            "total_groups": len(groups),
+            "total_groups": total_groups,
+            "groups_inlined": len(groups),
             "groups": [{"urls": list(r["urls"]), "n": r["n"]} for r in groups],
         }
         if self.out_dir is not None:

@@ -11,13 +11,22 @@ Design: Structured Streaming file source -> foreachBatch. Each micro-batch
   2. joins the batch's text_sha256 against the persistent signature state
      (parquet dir; Iceberg table on a real cluster) to emit match edges
      (new_url -> first seen url with identical text),
-  3. appends the batch signatures to the state.
+  3. writes the batch signatures into the state.
 foreachBatch (not a stateful operator) because the state table must be
-shared with the batch pipeline and survive restarts; the streaming
-checkpoint makes each batch exactly-once at the sink level.
+shared with the batch pipeline and survive restarts.
 
-`trigger(availableNow=True)` drains the backlog and stops — used in tests;
-a production run drops the trigger for continuous micro-batches.
+Delivery semantics: both sinks are written as `batch_id=N` partition
+directories with mode("overwrite") scoped to that directory — a micro-batch
+retried after a partial failure REWRITES its own partition instead of
+appending duplicates, so the sink contents are idempotent per batch
+(effectively exactly-once at the directory level). A plain append here
+would be at-least-once: retries double match rows and double-count state.
+
+State layout: partitioned by `sha_prefix` (first hex char of text_sha256,
+16 shards) under each batch directory. At scale the per-batch match join
+co-partitions on the same prefix (both sides carry it as a join key), and
+prefix-restricted reads prune to 1/16 of the state files (asserted in
+tests/test_streaming.py) instead of re-scanning everything.
 """
 
 from __future__ import annotations
@@ -34,12 +43,13 @@ SIG_STATE_COLS = ["url", "host", "lang", "text_sha256", "n_chars"]
 
 
 def _state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    if os.path.exists(os.path.join(state_dir, "_SUCCESS")) or (
-        os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir))
-    ):
-        return spark.read.parquet(state_dir)
-    return None
+    """Read the accumulated signature state (batch_id=*/sha_prefix=* layout);
+    None when no batch has committed state yet."""
+    if not os.path.isdir(state_dir):
+        return None
+    if not any(f.startswith("batch_id=") for f in os.listdir(state_dir)):
+        return None
+    return spark.read.option("basePath", state_dir).parquet(state_dir)
 
 
 def start_incremental_dedup(spark: SparkSession, input_dir: str,
@@ -56,27 +66,28 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
         sig = (
             signatures(extract(clean_pages(batch_df)))
             .select(*SIG_STATE_COLS)
+            .withColumn("sha_prefix", F.substring("text_sha256", 1, 1))
             .localCheckpoint()  # batch_df is single-use; state join re-reads
         )
         prev = _state(spark, state_dir)
         if prev is not None:
-            seen = prev.groupBy("text_sha256").agg(
+            seen = prev.groupBy("sha_prefix", "text_sha256").agg(
                 F.min("url").alias("first_url")
             )
             matches = (
-                sig.join(seen, "text_sha256")
+                sig.join(seen, ["sha_prefix", "text_sha256"])
                 .filter(F.col("url") != F.col("first_url"))
-                .select("url", "first_url", "text_sha256",
-                        F.lit(batch_id).alias("batch_id"))
+                .select("url", "first_url", "text_sha256")
             )
-            matches.write.mode("append").parquet(matches_dir)
         else:
-            # still create the sink dir so readers never race
-            spark.createDataFrame(
-                [], "url string, first_url string, text_sha256 string, "
-                    "batch_id long"
-            ).write.mode("append").parquet(matches_dir)
-        sig.write.mode("append").parquet(state_dir)
+            matches = spark.createDataFrame(
+                [], "url string, first_url string, text_sha256 string"
+            )
+        # idempotent per-batch sinks: overwrite THIS batch's partition dir
+        matches.write.mode("overwrite").parquet(
+            os.path.join(matches_dir, f"batch_id={batch_id}"))
+        sig.write.partitionBy("sha_prefix").mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}"))
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -180,6 +180,21 @@ def test_resume_skips_completed_stages(spark, tiny_pages_dir, tmp_path):
     assert any(m["stage"] == "candidates" for m in resumed)
 
 
+def test_resume_invalidated_by_config_change(spark, tiny_pages_dir, tmp_path):
+    """Same run_id + different thresholds must NOT reuse stale checkpoints
+    (scores bake in is_match): the config fingerprint keys the path."""
+    from dedupe_rust_spark.plans.pipeline import PipelineConfig
+
+    out = str(tmp_path / "out")
+    p1 = DedupPipeline(spark, tiny_pages_dir, out_dir=out, run_id="RC")
+    p1.run()
+    p2 = DedupPipeline(spark, tiny_pages_dir, out_dir=out, run_id="RC",
+                       config=PipelineConfig(lev_match=0.5))
+    p2.run()
+    assert p1.cfg_fingerprint != p2.cfg_fingerprint
+    assert not [m for m in p2.stage_metrics if m.get("resumed")]
+
+
 def test_fast_path_equals_checkpointed(spark, tiny_pages_dir):
     """checkpoints=False (throughput fast path) must produce identical
     clusters to the default checkpointed path."""
@@ -197,7 +212,8 @@ def test_write_report_golden_shape(spark, tiny_pages_dir, tmp_path):
                          run_id="RPT")
     clusters = pipe.run()
     report = pipe.write_report(clusters)
-    assert report["total_groups"] == len(report["groups"]) > 0
+    assert report["total_groups"] == report["groups_inlined"] > 0
+    assert len(report["groups"]) == report["groups_inlined"]
     for g in report["groups"][:20]:
         assert g["urls"] == sorted(g["urls"]) and g["n"] == len(g["urls"]) >= 2
     # groups sorted by first member (reference main.rs:310-315)
@@ -205,3 +221,7 @@ def test_write_report_golden_shape(spark, tiny_pages_dir, tmp_path):
     assert firsts == sorted(firsts)
     import os
     assert os.path.exists(str(tmp_path / "dedupe_report_RPT.json"))
+    # the driver collect is bounded: a tiny cap inlines only that many
+    capped = pipe.write_report(clusters, max_inline_groups=3)
+    assert capped["groups_inlined"] == len(capped["groups"]) == 3
+    assert capped["total_groups"] == report["total_groups"]

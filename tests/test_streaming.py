@@ -55,5 +55,25 @@ def test_incremental_dedup_two_waves(spark, tmp_path):
     assert matches.iloc[0]["url"] == "https://h2.example.com/a-copy.html"
     assert matches.iloc[0]["first_url"] == "https://h1.example.com/a.html"
 
-    state = spark.read.parquet(state_dir)
+    state = spark.read.option("basePath", state_dir).parquet(state_dir)
     assert state.count() == 4  # all four pages signed into state
+
+    # state is sharded by sha_prefix: a prefix-restricted read must prune
+    # to only that shard's files (the at-scale join pruning surface)
+    import pyspark.sql.functions as F
+    one_prefix = state.select("sha_prefix").first()[0]
+    pruned = state.filter(F.col("sha_prefix") == one_prefix)
+    assert pruned.count() >= 1
+    # input_file_name() reflects the files the pruned scan actually read
+    files = [r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all(f"sha_prefix={one_prefix}" in f for f in files)
+
+    # idempotency: re-running the stream over the same checkpoint (no new
+    # input) must not append duplicate match or state rows
+    q3 = start_incremental_dedup(spark, input_dir, state_dir, matches_dir,
+                                 ckpt)
+    q3.awaitTermination(120)
+    assert len(spark.read.parquet(matches_dir).toPandas()) == 1
+    assert spark.read.option("basePath",
+                             state_dir).parquet(state_dir).count() == 4
