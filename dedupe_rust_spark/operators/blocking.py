@@ -112,6 +112,10 @@ def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
     here; the only full shuffle of band rows is the candidate self-join.
     (Round-1 used two windows — count + row_number — which sorted every
     band row per key and capped candidate-stage scaling at ~2.6x/4.)"""
+    # blocks is consumed twice (size agg + join) and its lineage carries the
+    # representative window + band explode; materialize it once (lazy: the
+    # first action computes it, every later consumer reads the cached rows)
+    blocks = blocks.localCheckpoint(eager=False)
     sizes = (
         blocks.groupBy("block_key")
         .agg(F.count("*").alias("_sz"))

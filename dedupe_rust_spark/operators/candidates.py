@@ -27,6 +27,9 @@ def candidate_pairs(blocks: DataFrame, keep_block_key: bool = True
     a near-dup pair is found by up to 32 bands, so the pre-dedup stream is
     many times the distinct-pair count and every shuffled byte counts. The
     retained key of a multi-band pair is arbitrary anyway."""
+    # the self-join reads blocks twice; materialize once (lazy) so the
+    # salting join + upstream window/explode lineage runs a single time
+    blocks = blocks.localCheckpoint(eager=False)
     a = blocks.alias("a")
     b = blocks.alias("b")
     joined = (

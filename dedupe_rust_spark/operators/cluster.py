@@ -35,8 +35,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
-    labels = labels.localCheckpoint()
+    # seed labels with the first neighbor-min half-round fused in:
+    # label0(x) = min(x, min(neighbors)) — one agg instead of a distinct
+    # node list + a union + the first propagation join (fewer serial jobs;
+    # the CC loop's job count is its local-mode latency floor)
+    labels = sym.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("label")
+    ).localCheckpoint()
 
     def one_round(lab: DataFrame) -> DataFrame:
         # 1. neighbor-min: candidate label for each node from its neighbors

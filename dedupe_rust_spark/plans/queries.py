@@ -108,6 +108,38 @@ SQL_S6 = f"""
 """
 
 
+def q_s3_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: exclusion filter (IN-list on host) through the real source path
+    (sources.clean_pages, the reference's excluded-folder predicate,
+    main.rs:144-152) — host census after dropping two excluded hosts."""
+    from ..sources.pages import clean_pages
+
+    pages = dpages(spark, sf_dir).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text", "lang")
+    cleaned = clean_pages(
+        pages, exclude_hosts=["mirror.example.org", "host7.example.com"])
+    return (
+        cleaned.filter(F.col("text").isNotNull())
+        .groupBy("host").agg(F.count("*").alias("n_pages"))
+    )
+
+
+SQL_S3 = f"""
+    WITH dpages AS ({_DPAGES_SQL}),
+    h AS (
+      SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, text
+      FROM dpages
+      WHERE url LIKE 'http%' AND length(url) > 0
+    )
+    SELECT host, count(*) AS n_pages
+    FROM h
+    WHERE host NOT IN ('mirror.example.org', 'host7.example.com')
+      AND text IS NOT NULL
+    GROUP BY host
+"""
+
+
 def q_g4_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4+G5: composite-key hash agg + HAVING count>1 (blocking census)."""
     return (
@@ -829,6 +861,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def catalog():
     queries = {
         "s6_lang_census": q_s6_lang_census,
+        "s3_exclusion": q_s3_exclusion,
         "g4_block_stats": q_g4_block_stats,
         "h1_prefix_groups": q_h1_prefix_groups,
         "d2_exact_clusters": q_d2_exact_clusters,
@@ -862,6 +895,7 @@ def catalog():
     }
     oracles = {
         "s6_lang_census": SQL_S6,
+        "s3_exclusion": SQL_S3,
         "g4_block_stats": SQL_G4,
         "h1_prefix_groups": SQL_H1,
         "d2_exact_clusters": SQL_D2,
