@@ -37,24 +37,26 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @pandas_udf(SIG_UDF_RESULT)
 def signatures_udf(text: pd.Series) -> pd.DataFrame:
     """text -> (simhash, 32 LSH band bucket keys, low-32 MinHash values).
+    One vectorized numpy pass over the whole Arrow batch
+    (sigcore.signatures_batch): shingle hashes computed once per doc and
+    shared by MinHash + SimHash, segment-reduced minhash, batch band mix.
     The truncated MinHash rides along so scoring can estimate Jaccard
     JVM-side (SIG_UDF_RESULT note in schemas.py)."""
-    simhashes: list[int | None] = []
-    bands: list[list[int] | None] = []
-    minhashes: list[list[int] | None] = []
-    for t in text:
-        if t is None or (isinstance(t, float) and pd.isna(t)):
-            simhashes.append(None)
-            bands.append(None)
-            minhashes.append(None)
-            continue
-        simhashes.append(_to_i64(sigcore.simhash64(t)))
-        sig = sigcore.minhash(t)
-        bands.append([_to_i64(k) for k in sigcore.band_keys(sig)])
-        minhashes.append(
-            [int(v) for v in sig.astype(np.uint32).astype(np.int32)])
+    texts = [t if isinstance(t, str) else None for t in text]
+    mask, simh, minh, bkeys = sigcore.signatures_batch(texts)
+    simh_i = simh.astype(np.int64)
+    bands_i = bkeys.astype(np.int64).tolist()
+    minh_i = minh.astype(np.uint32).astype(np.int32).tolist()
     return pd.DataFrame(
-        {"simhash": simhashes, "bands": bands, "minhash": minhashes})
+        {
+            "simhash": [int(simh_i[i]) if mask[i] else None
+                        for i in range(len(texts))],
+            "bands": [bands_i[i] if mask[i] else None
+                      for i in range(len(texts))],
+            "minhash": [minh_i[i] if mask[i] else None
+                        for i in range(len(texts))],
+        }
+    )
 
 
 # MinHash-estimate decision band: estimates inside it are refined with the

@@ -79,6 +79,26 @@ class TestSignatures:
         kc = set(sigcore.band_keys(sigcore.minhash(c)))
         assert not (ka & kc), "unrelated docs should share no band"
 
+    def test_signatures_batch_matches_per_doc(self):
+        """The vectorized batch path must agree value-for-value with the
+        per-doc functions (minhash, simhash, band keys)."""
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(400)]
+        texts = [" ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(0, 80)))
+                 for _ in range(60)]
+        texts += ["", None, "single", "a b c d e f g h"]
+        mask, simh, minh, bkeys = sigcore.signatures_batch(texts)
+        for i, t in enumerate(texts):
+            if t is None:
+                assert not mask[i]
+                continue
+            assert mask[i]
+            assert int(simh[i]) == sigcore.simhash64(t), (i, t[:30])
+            assert np.array_equal(minh[i], sigcore.minhash(t)), (i, t[:30])
+            assert [int(v) for v in bkeys[i]] == sigcore.band_keys(
+                sigcore.minhash(t)), (i, t[:30])
+
     def test_stable_vectors(self):
         # pinned to SIG_VERSION=1; if these change, bump the version
         assert sigcore.hash64("abc") == sigcore.hash64("abc")
