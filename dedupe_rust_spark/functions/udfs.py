@@ -46,7 +46,7 @@ def signatures_udf(text: pd.Series) -> pd.DataFrame:
     mask, simh, minh, bkeys = sigcore.signatures_batch(texts)
     simh_i = simh.astype(np.int64)
     bands_i = bkeys.astype(np.int64).tolist()
-    minh_i = minh.astype(np.uint32).astype(np.int32).tolist()
+    minh_i = minh.astype(np.uint16).astype(np.int16).tolist()
     return pd.DataFrame(
         {
             "simhash": [int(simh_i[i]) if mask[i] else None

@@ -48,30 +48,64 @@ def minhash_jaccard_expr(mh_a, mh_b):
     return (agree.cast("double") / F.lit(float(MINHASH_K)))
 
 
-def score_candidates(pairs: DataFrame, sig: DataFrame,
-                     lev_match: float = LEV_MATCH,
-                     jaccard_match: float = JACCARD_MATCH) -> DataFrame:
-    sides = sig.select("url", "text", "minhash")
-    joined = (
+def attach_estimates(pairs: DataFrame, sig: DataFrame) -> DataFrame:
+    """pairs + JVM-side MinHash-Jaccard estimate: (url_a, url_b, jacc_est).
+
+    The signature arrays are DROPPED in the same projection — they never
+    ride the downstream pair shuffles (at 7.8M pairs the arrays were
+    multiple GB of extra shuffle, which erased the Python savings at high
+    parallelism: memory bandwidth is the shared resource at 32 cores)."""
+    mh = sig.select("url", "minhash")
+    return (
         pairs.select("url_a", "url_b")
-        .join(sides.withColumnsRenamed(
-            {"url": "url_a", "text": "_ta", "minhash": "_ma"}), "url_a")
-        .join(sides.withColumnsRenamed(
-            {"url": "url_b", "text": "_tb", "minhash": "_mb"}), "url_b")
+        .join(mh.withColumnsRenamed(
+            {"url": "url_a", "minhash": "_ma"}), "url_a")
+        .join(mh.withColumnsRenamed(
+            {"url": "url_b", "minhash": "_mb"}), "url_b")
+        .select(
+            "url_a", "url_b",
+            minhash_jaccard_expr(F.col("_ma"), F.col("_mb")).alias("jacc_est"),
+        )
+    )
+
+
+def score_estimated(est_pairs: DataFrame, sig: DataFrame,
+                    lev_match: float = LEV_MATCH,
+                    jaccard_match: float = JACCARD_MATCH) -> DataFrame:
+    """Fast/slow split on the estimate:
+      * est >= max(JACC_REFINE_HI, jaccard_match): is_match is already
+        decided TRUE (jaccard path; lev cannot flip a True) — no text
+        join, no UDF. jw/lev are null on these rows.
+      * below the cut: texts attached, scorer UDF runs, exact Jaccard
+        refinement inside the decision band.
+    On web corpora most LSH candidates are true near-dups, so the fast
+    path removes the text shuffle + Python scoring for the bulk of pairs.
+    """
+    from ..functions.udfs import JACC_REFINE_HI
+
+    fast_cut = max(JACC_REFINE_HI, jaccard_match)
+    fast = est_pairs.filter(F.col("jacc_est") >= fast_cut).select(
+        "url_a", "url_b",
+        F.lit(None).cast("double").alias("jaro_winkler"),
+        F.lit(None).cast("double").alias("lev_sim"),
+        F.col("jacc_est").alias("jaccard"),
+        F.lit(True).alias("is_match"),
+    )
+    texts = sig.select("url", "text")
+    slow = (
+        est_pairs.filter(F.col("jacc_est") < fast_cut)
+        .join(texts.withColumnsRenamed({"url": "url_a", "text": "_ta"}), "url_a")
+        .join(texts.withColumnsRenamed({"url": "url_b", "text": "_tb"}), "url_b")
     )
     # AQE coalesces the (byte-wise small) pair shuffle down to few
     # partitions, which would serialize the CPU-heavy scorer UDF. Spread
     # pairs across the cluster: cost is a tiny shuffle, win is full
     # parallelism on the most expensive per-row stage.
-    par = pairs.sparkSession.sparkContext.defaultParallelism
-    joined = joined.repartition(2 * par)
-    scored = (
-        joined
-        .withColumn("_est", minhash_jaccard_expr(F.col("_ma"), F.col("_mb")))
-        .withColumn("s", score_pairs_udf(F.col("_ta"), F.col("_tb"),
-                                         F.col("_est")))
-    )
-    return scored.select(
+    par = est_pairs.sparkSession.sparkContext.defaultParallelism
+    slow = slow.repartition(2 * par)
+    scored = slow.withColumn(
+        "s", score_pairs_udf(F.col("_ta"), F.col("_tb"), F.col("jacc_est"))
+    ).select(
         "url_a",
         "url_b",
         F.col("s.jaro_winkler").alias("jaro_winkler"),
@@ -82,6 +116,16 @@ def score_candidates(pairs: DataFrame, sig: DataFrame,
             | (F.col("s.jaccard") >= jaccard_match)
         ).alias("is_match"),
     )
+    return fast.unionByName(scored)
+
+
+def score_candidates(pairs: DataFrame, sig: DataFrame,
+                     lev_match: float = LEV_MATCH,
+                     jaccard_match: float = JACCARD_MATCH) -> DataFrame:
+    """attach_estimates + score_estimated in one call (the estimate table
+    is lazily materialized since both branches of the split consume it)."""
+    est = attach_estimates(pairs, sig).localCheckpoint(eager=False)
+    return score_estimated(est, sig, lev_match, jaccard_match)
 
 
 def match_edges(scores: DataFrame) -> DataFrame:

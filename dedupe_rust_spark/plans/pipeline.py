@@ -189,10 +189,14 @@ class DedupPipeline:
         pairs = cand.candidate_pairs(pruned, keep_block_key=False)
         if self.cfg.simhash_prefilter:
             pairs = cand.simhash_prefilter(pairs, sig, self.cfg.max_hamming)
-        pairs = self._checkpoint(pairs, "candidates")
+        # the candidates checkpoint carries the MinHash-Jaccard estimate:
+        # one materialization serves both the resume contract and the
+        # fast/slow scoring split (both branches read it)
+        est = self._checkpoint(scoring.attach_estimates(pairs, sig),
+                               "candidates")
 
-        scores = scoring.score_candidates(pairs, sig, self.cfg.lev_match,
-                                          self.cfg.jaccard_match)
+        scores = scoring.score_estimated(est, sig, self.cfg.lev_match,
+                                         self.cfg.jaccard_match)
         scores = self._checkpoint(scores, "scores")
 
         # Transitive closure runs over FUZZY edges between exact-group

@@ -27,22 +27,24 @@ SIGNATURES = T.StructType(
         T.StructField("prefix_hash", T.LongType(), True),
         T.StructField("simhash", T.LongType(), True),
         T.StructField("bands", T.ArrayType(T.LongType()), True),
-        T.StructField("minhash", T.ArrayType(T.IntegerType()), True),
+        T.StructField("minhash", T.ArrayType(T.ShortType()), True),
         T.StructField("n_chars", T.IntegerType(), True),
     ]
 )
 
 # The signature UDF emits LSH band bucket keys (32 longs) plus the MinHash
-# signature truncated to its low 32 bits per row (128 ints, 512 B): the
-# truncation changes the Jaccard estimate only via 2^-32 collisions, and
-# carrying it lets scoring estimate Jaccard JVM-side (zip_with equality)
-# instead of re-shingling both texts per pair in Python (round-1's hottest
-# Python path, 77% of pipeline wall in score+CC).
+# signature truncated to its low 16 bits per row (128 shorts, 256 B): the
+# truncation inflates the Jaccard estimate only by (1-j)/65536 collisions,
+# and carrying it lets scoring estimate Jaccard JVM-side (zip_with
+# equality) instead of re-shingling both texts per pair in Python
+# (round-1's hottest Python path, 77% of pipeline wall in score+CC).
+# 16 bits not 32: the arrays ride one pair-sized join shuffle, and shuffle
+# bytes are the shared resource at high parallelism.
 SIG_UDF_RESULT = T.StructType(
     [
         T.StructField("simhash", T.LongType(), True),
         T.StructField("bands", T.ArrayType(T.LongType()), True),
-        T.StructField("minhash", T.ArrayType(T.IntegerType()), True),
+        T.StructField("minhash", T.ArrayType(T.ShortType()), True),
     ]
 )
 

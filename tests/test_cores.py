@@ -237,16 +237,18 @@ class TestBatchScorers:
             assert abs(lev - blev[i]) < 1e-9, (i, a[:30], b[:30])
             assert abs(jac - bjac[i]) < 1e-9, (i, a[:30], b[:30])
 
-    def test_minhash_low32_estimate_matches_full(self):
-        """The low-32 truncation shipped to Spark must give the same
-        Jaccard estimate as the full 61-bit signatures (collisions 2^-32)."""
+    def test_minhash_low16_estimate_matches_full(self):
+        """The low-16 truncation shipped to Spark must give (nearly) the
+        same Jaccard estimate as the full 61-bit signatures: collisions
+        inflate a row's agreement with probability 1/65536, so at most a
+        couple of rows per signature may differ."""
         import numpy as np
 
         pairs = [p for p in self._pairs() if p[0] and p[1]][:40]
         for a, b in pairs:
             sa, sb = sigcore.minhash(a), sigcore.minhash(b)
             full = sigcore.minhash_jaccard(sa, sb)
-            ta = sa.astype(np.uint32).astype(np.int32)
-            tb = sb.astype(np.uint32).astype(np.int32)
+            ta = sa.astype(np.uint16).astype(np.int16)
+            tb = sb.astype(np.uint16).astype(np.int16)
             trunc = float(np.mean(ta == tb))
-            assert abs(full - trunc) < 1e-9, (a[:30], b[:30])
+            assert 0 <= trunc - full <= 2 / 128, (a[:30], b[:30])

@@ -49,6 +49,22 @@ class TestANN:
         b2 = ann.srp_bucket(emb, bits=8).select("vec_id", "bucket").toPandas()
         assert b1.equals(b2)
 
+    def test_lsh_pairs_match_bruteforce(self, spark, emb):
+        """The bucketed scale path recovers the EXACT brute-force pair set
+        at its amplification settings (the lsh_emb_dups oracle contract)."""
+        got = {(r.vec_id_a, r.vec_id_b)
+               for r in ann.lsh_cosine_pairs(emb, threshold=0.35).collect()}
+        local = emb.toPandas()
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in local["embedding"]])
+        ids = local["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        ia, ib = np.where(np.round(cos, 4) >= 0.35)
+        expect = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+                  for a, b in zip(ia, ib) if ids[a] != ids[b]}
+        assert got == expect
+
 
 class TestMultimodal:
     PNG = bytes.fromhex("89504e470d0a1a0a0000000d49484452"
@@ -113,6 +129,17 @@ class TestMultimodal:
         # deterministic fake features
         f1 = multimodal.image_features(df).toPandas().set_index("content_id")
         assert list(out.loc["a", "feature"]) == list(f1.loc["a", "feature"])
+
+    def test_image_features_webp_heic_through_spark(self, spark):
+        """WebP/HEIC header sniffing works through the mapInPandas path."""
+        rows = [("w", self.WEBP_VP8X), ("h", self.HEIC)]
+        df = spark.createDataFrame(rows, "url string, content binary")
+        out = multimodal.image_features(df).toPandas().set_index("content_id")
+        assert out.loc["w", "fmt"] == "webp"
+        assert (out.loc["w", "width"], out.loc["w", "height"]) == (12, 8)
+        assert out.loc["h", "fmt"] == "heic"
+        assert (out.loc["h", "width"], out.loc["h", "height"]) == (1920, 1080)
+        assert out.loc["h", "n_bytes"] == len(self.HEIC)
 
     def test_dedupe_by_content_hash(self, spark):
         rows = [("a", b"xxx1"), ("b", b"xxx1"), ("c", b"yyy2"), ("d", b"xxx1")]

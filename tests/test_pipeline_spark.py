@@ -150,6 +150,25 @@ def test_spark_cc_matches_unionfind(spark):
     assert got == expect
 
 
+def test_prune_unsalted_pairs_unchanged(spark, sig):
+    """For blocks below the cap, prune_blocks must be a pure HAVING>1
+    filter: the candidate pair set equals the brute-force per-block pairs
+    (salting only rewrites oversized keys)."""
+    blocks = blocking.all_blocks(blocking.exact_representatives(sig))
+    kept, _ = blocking.prune_blocks(blocks, max_block=10**9)  # nothing salts
+    got = {(r.url_a, r.url_b)
+           for r in cand.candidate_pairs(kept, keep_block_key=False).collect()}
+    local = blocks.toPandas()
+    expect = set()
+    for _, grp in local.groupby("block_key"):
+        urls = sorted(grp["url"])
+        if len(urls) > 1:
+            for i in range(len(urls)):
+                for j in range(i + 1, len(urls)):
+                    expect.add((urls[i], urls[j]))
+    assert got == expect
+
+
 def test_blocks_salted_not_silent(spark, sig):
     reps = blocking.exact_representatives(sig)
     blocks = blocking.all_blocks(reps)
