@@ -142,8 +142,12 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "50000"))
+        # N vs 4N parallelism levels (the sandbox proxy for cluster sizes;
+        # driver instruction allows any N and 4N). Default 8,32.
+        lo, hi = (int(v) for v in os.environ.get(
+            "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
         results = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--pipeline-json", str(cpus), "--rows", str(rows)],
@@ -153,17 +157,19 @@ def main() -> None:
             line = next(l for l in p.stdout.splitlines()
                         if l.startswith("PIPELINE_RESULT "))
             results[cpus] = json.loads(line.split(" ", 1)[1])
-        t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
-        eff = (t8 / t32) / 4
+        t_lo, t_hi = results[lo]["wall_sec"], results[hi]["wall_sec"]
+        eff = (t_lo / t_hi) / (hi / lo)
         report = {
-            "local8": results[8],
-            "local32": results[32],
+            f"local{lo}": results[lo],
+            f"local{hi}": results[hi],
+            "levels": [lo, hi],
             "scaling_efficiency": round(eff, 3),
         }
         _write_baseline_md(report)
         print(json.dumps({
-            "metric": "dedup_pipeline_scaling", "value": t32, "unit": "sec",
-            "queries": {"pipeline_local8": t8, "pipeline_local32": t32},
+            "metric": "dedup_pipeline_scaling", "value": t_hi, "unit": "sec",
+            "queries": {f"pipeline_local{lo}": t_lo,
+                        f"pipeline_local{hi}": t_hi},
             "sf": _sf_label(SF_DIR), **report,
         }))
         return
@@ -192,7 +198,8 @@ def _write_baseline_md(report: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH", "scaling_last_run.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    r8, r32 = report["local8"], report["local32"]
+    lo, hi = report["levels"]
+    r_lo, r_hi = report[f"local{lo}"], report[f"local{hi}"]
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling run
 
@@ -201,10 +208,10 @@ parallelism levels in fresh JVMs (sandbox proxy for N vs 4N executors).
 
 | config | pages | candidate pairs | wall (s) | pages/s | pairs/s |
 |---|---|---|---|---|---|
-| local[8]  | {r8['pages']} | {r8['candidate_pairs']} | {r8['wall_sec']} | {r8['pages_per_sec']} | {r8['candidate_pairs_per_sec']} |
-| local[32] | {r32['pages']} | {r32['candidate_pairs']} | {r32['wall_sec']} | {r32['pages_per_sec']} | {r32['candidate_pairs_per_sec']} |
+| local[{lo}]  | {r_lo['pages']} | {r_lo['candidate_pairs']} | {r_lo['wall_sec']} | {r_lo['pages_per_sec']} | {r_lo['candidate_pairs_per_sec']} |
+| local[{hi}] | {r_hi['pages']} | {r_hi['candidate_pairs']} | {r_hi['wall_sec']} | {r_hi['pages_per_sec']} | {r_hi['candidate_pairs_per_sec']} |
 
-**Scaling efficiency (T8/T32)/4 = {report['scaling_efficiency']}**
+**Scaling efficiency (T{lo}/T{hi})/{hi // lo} = {report['scaling_efficiency']}**
 (target >= 0.8, BASELINE.md)
 """)
 
