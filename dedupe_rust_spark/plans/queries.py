@@ -801,6 +801,23 @@ def q_inv_fingerprint_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inv_langid_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for the language-ID UDF's determinism: identical texts
+    -> identical detected language (distinct count 1 per exact group).
+    The detector's accuracy vs the stored lang column stays a rows-only
+    census (q_langid) — the n-gram profile matcher itself is not
+    SQL-expressible."""
+    from ..operators.textops import language_id
+
+    d = language_id(_hashed(spark, sf_dir))
+    return (
+        d.groupBy("th")
+        .agg(F.count("*").alias("n_pages"),
+             F.count_distinct("lang_detected").alias("n_clusters"))
+        .filter(F.col("n_pages") > 1)
+    )
+
+
 def q_lsh_emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via bucketed SRP-LSH — the 100TB-shaped
     scale twin of q_emb_cosine_dups (same output, same DuckDB oracle): only
@@ -879,6 +896,7 @@ def catalog():
         "inv_lsh_recall": q_inv_lsh_recall,
         "inv_simhash_consistent": q_inv_simhash_consistent,
         "inv_fingerprint_consistent": q_inv_fingerprint_consistent,
+        "inv_langid_consistent": q_inv_langid_consistent,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "emb_cosine_dups": q_emb_cosine_dups,
@@ -912,6 +930,7 @@ def catalog():
         "inv_lsh_recall": SQL_INV_LSH,
         "inv_simhash_consistent": SQL_INV_EXACT,
         "inv_fingerprint_consistent": SQL_INV_EXACT,
+        "inv_langid_consistent": SQL_INV_EXACT,
         "quality_filter": SQL_QUALITY,
         "w1_topk_per_host": SQL_W1,
         "set_unmirrored": SQL_SET,
