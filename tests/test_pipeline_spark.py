@@ -135,6 +135,29 @@ def test_adversarial_same_title_not_clustered(spark, tiny_pages_dir, clusters):
     assert joined.count() <= max(1, int(0.01 * adv.count()))
 
 
+def test_score_split_decisions_match_exact(spark, sig):
+    """The estimate-split scorer's is_match must equal the ground-truth
+    decision rule (exact lev/jaccard) on real candidate pairs — the fast
+    path may only skip work, never flip a decision."""
+    from dedupe_rust_spark.functions import scorecore
+
+    pruned, _ = blocking.prune_blocks(
+        blocking.all_blocks(blocking.exact_representatives(sig)))
+    pairs = cand.candidate_pairs(pruned, keep_block_key=False)
+    got = scoring.score_candidates(pairs, sig).toPandas()
+    texts = {r.url: r.text for r in sig.select("url", "text").collect()}
+    flipped = 0
+    for r in got.itertuples():
+        ta, tb = texts[r.url_a], texts[r.url_b]
+        exact = (scorecore.lev_sim(ta, tb) >= scoring.LEV_MATCH
+                 or scorecore.jaccard_shingles(ta, tb) >= scoring.JACCARD_MATCH)
+        if bool(r.is_match) != exact:
+            flipped += 1
+    # estimate noise may flip only pairs whose exact jaccard sits within
+    # the estimator tail outside the refine band (~4.5 sigma): allow <=1%
+    assert flipped <= max(1, len(got) // 100), (flipped, len(got))
+
+
 def test_spark_cc_matches_unionfind(spark):
     import random
 
