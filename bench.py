@@ -58,6 +58,30 @@ def _warmup(spark) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _shuffle_totals(spark) -> dict[str, int] | None:
+    """Cumulative shuffle read/write bytes across all completed stages, from
+    the UI REST API (requires SPARK_GRAFT_UI=1 so the UI is up). Returns
+    None when the UI is off — callers degrade gracefully."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    return {
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+    }
+
+
 def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
                       ) -> dict:
     """Full dedup pipeline wall time + candidate-pair throughput."""
@@ -78,14 +102,19 @@ def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
     # JIT decay is slow in a fresh JVM: take the best of 3 timed laps as
     # the steady-state figure (standard JVM-bench practice).
     best = None
+    shuffle = None
     for _ in range(3):
+        s0 = _shuffle_totals(spark)
         t0 = time.monotonic()
         pipe = DedupPipeline(spark, pages_dir, config=fast)
         clusters = pipe.run()
         n_clustered = clusters.count()
         wall = time.monotonic() - t0
+        s1 = _shuffle_totals(spark)
         if best is None or wall < best[0]:
             best = (wall, pipe, n_clustered)
+            if s0 is not None and s1 is not None:
+                shuffle = {k: s1[k] - s0[k] for k in s0}
     wall, pipe, n_clustered = best
     n_pairs = next((m["rows_out"] for m in pipe.stage_metrics
                     if m["stage"] == "candidates"), 0)
@@ -93,7 +122,7 @@ def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
                     if m["stage"] == "signatures"), 0)
     stages = {m["stage"]: m["wall_ms"] for m in pipe.stage_metrics
               if "wall_ms" in m and not m["stage"].endswith(".partition")}
-    return {
+    out = {
         "cpus": cpus,
         "wall_sec": round(wall, 3),
         "pages": n_pages,
@@ -103,6 +132,10 @@ def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
         "candidate_pairs_per_sec": round(n_pairs / wall, 1),
         "stage_ms": stages,
     }
+    if shuffle is not None:
+        out.update(shuffle)  # bytes for the BEST timed lap (deterministic
+        # per plan+input, unlike wall — the auditable shuffle-volume metric)
+    return out
 
 
 def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -152,7 +185,8 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__),
                  "--pipeline-json", str(cpus), "--rows", str(rows)],
                 capture_output=True, text=True, check=True,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
+                     "SPARK_GRAFT_UI": "1"},
             )
             line = next(l for l in p.stdout.splitlines()
                         if l.startswith("PIPELINE_RESULT "))
@@ -176,6 +210,7 @@ def main() -> None:
 
     from dedupe_rust_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")  # shuffle-byte metrics
     spark = get_spark(app=f"bench[{CPUS}]", cpus=CPUS)
     pipe = run_pipeline_once(spark, CPUS, SF_DIR)
     queries = run_catalog_queries(spark, SF_DIR)
@@ -189,6 +224,8 @@ def main() -> None:
         "candidate_pairs": pipe["candidate_pairs"],
         "candidate_pairs_per_sec": pipe["candidate_pairs_per_sec"],
         "pages_per_sec": pipe["pages_per_sec"],
+        **{k: pipe[k] for k in ("shuffle_write_bytes", "shuffle_read_bytes")
+           if k in pipe},
     }))
 
 
@@ -200,16 +237,20 @@ def _write_baseline_md(report: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     lo, hi = report["levels"]
     r_lo, r_hi = report[f"local{lo}"], report[f"local{hi}"]
+
+    def gb(r, k):
+        return (f"{r[k] / 1e9:.2f}" if k in r else "n/a")
+
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling run
 
 Same job + same input ({SF_DIR}-derived synthetic pages, seed 42), two
 parallelism levels in fresh JVMs (sandbox proxy for N vs 4N executors).
 
-| config | pages | candidate pairs | wall (s) | pages/s | pairs/s |
-|---|---|---|---|---|---|
-| local[{lo}]  | {r_lo['pages']} | {r_lo['candidate_pairs']} | {r_lo['wall_sec']} | {r_lo['pages_per_sec']} | {r_lo['candidate_pairs_per_sec']} |
-| local[{hi}] | {r_hi['pages']} | {r_hi['candidate_pairs']} | {r_hi['wall_sec']} | {r_hi['pages_per_sec']} | {r_hi['candidate_pairs_per_sec']} |
+| config | pages | candidate pairs | wall (s) | pages/s | pairs/s | shuffle write (GB) | shuffle read (GB) |
+|---|---|---|---|---|---|---|---|
+| local[{lo}]  | {r_lo['pages']} | {r_lo['candidate_pairs']} | {r_lo['wall_sec']} | {r_lo['pages_per_sec']} | {r_lo['candidate_pairs_per_sec']} | {gb(r_lo, 'shuffle_write_bytes')} | {gb(r_lo, 'shuffle_read_bytes')} |
+| local[{hi}] | {r_hi['pages']} | {r_hi['candidate_pairs']} | {r_hi['wall_sec']} | {r_hi['pages_per_sec']} | {r_hi['candidate_pairs_per_sec']} | {gb(r_hi, 'shuffle_write_bytes')} | {gb(r_hi, 'shuffle_read_bytes')} |
 
 **Scaling efficiency (T{lo}/T{hi})/{hi // lo} = {report['scaling_efficiency']}**
 (target >= 0.8, BASELINE.md)

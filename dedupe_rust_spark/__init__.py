@@ -21,4 +21,6 @@ __version__ = "0.1.0"
 
 # Version tag baked into signatures/extraction so checkpoints are
 # content-addressed by code version (SURVEY.md §4.3.3).
-ALGO_VERSION = "2"  # r2: band-key family v2, MinHash-estimated jaccard scorer
+ALGO_VERSION = "3"  # r3: surrogate-long fuzzy path (id=xxhash64(url)),
+# band-decorrelated salting, config-derived refine band, jw opt-in,
+# md5-min fingerprint family

@@ -73,16 +73,21 @@ def quality_score(text: str) -> float:
 
 
 def fingerprint(text: str, window: int = 64) -> str:
-    """Winnowing-style document fingerprint: min blake2b hash over each
-    `window`-char rolling block, hex-joined. Stable under small appends."""
+    """Winnowing-style document fingerprint: min md5 hash over each
+    `window`-char rolling block (step window/2). Stable under small appends.
+
+    md5 (not blake2b) since fingerprint family v2: the production operator
+    is the all-builtin Spark expression in operators/textops.fingerprints —
+    md5 is the rolling hash BOTH Spark and DuckDB evaluate natively, which
+    moves the hot path from a per-row Python loop to whole-stage codegen
+    AND gives the catalog query a hard value oracle. This Python twin
+    exists for unit-test parity only."""
     if len(text) <= window:
-        return hashlib.blake2b(text.encode("utf-8"), digest_size=8).hexdigest()
+        return hashlib.md5(text.encode("utf-8")).hexdigest()
     step = max(window // 2, 1)
     best: str | None = None
     for i in range(0, len(text) - window + 1, step):
-        h = hashlib.blake2b(
-            text[i : i + window].encode("utf-8"), digest_size=8
-        ).hexdigest()
+        h = hashlib.md5(text[i : i + window].encode("utf-8")).hexdigest()
         if best is None or h < best:
             best = h
     return best or ""

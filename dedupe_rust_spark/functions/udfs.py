@@ -59,36 +59,70 @@ def signatures_udf(text: pd.Series) -> pd.DataFrame:
     )
 
 
-# MinHash-estimate decision band: estimates inside it are refined with the
-# exact shingle Jaccard (k=128 => sigma ~0.044 at j=0.5; the band is ~±4.5
-# sigma around the 0.50 match threshold). Outside it the estimate cannot
-# flip the match decision, so the expensive re-shingling is skipped — the
-# reference's cheap->expensive cascade applied to the scorer itself.
-JACC_REFINE_LO = 0.30
-JACC_REFINE_HI = 0.70
+# MinHash-estimate decision band half-width: estimates within ±REFINE_BAND
+# of the jaccard match threshold are refined with the exact shingle Jaccard
+# (k=128 => sigma ~0.044 at j=0.5; 0.20 is ~4.5 sigma). Outside it the
+# estimate cannot flip the match decision, so the expensive re-shingling is
+# skipped — the reference's cheap->expensive cascade applied to the scorer
+# itself. The band is DERIVED from the configured threshold (a non-default
+# jaccard_match moves the band with it; hardcoding 0.30/0.70 would decide
+# matches straight from the unrefined estimate near a non-0.50 threshold).
+JACC_REFINE_BAND = 0.20
 
 
-@pandas_udf(SCORE_UDF_RESULT)
-def score_pairs_udf(text_a: pd.Series, text_b: pd.Series,
+def refine_bounds(jaccard_match: float) -> tuple[float, float]:
+    return (max(jaccard_match - JACC_REFINE_BAND, 0.0),
+            min(jaccard_match + JACC_REFINE_BAND, 1.0))
+
+
+# default-threshold bounds, importable by tests / plan code
+JACC_REFINE_LO, JACC_REFINE_HI = refine_bounds(0.50)
+
+
+def make_score_pairs_udf(refine_lo: float = JACC_REFINE_LO,
+                         refine_hi: float = JACC_REFINE_HI,
+                         compute_jw: bool = True):
+    """Build the pair-scorer pandas UDF for a given refine band.
+
+    compute_jw=False skips the Jaro-Winkler batch entirely (jaro_winkler
+    column = null): jw does not participate in the match decision
+    (is_match = lev OR jaccard, operators/scoring.py), so in the hot
+    pipeline it is dead CPU — an O(cap^2) matrix loop per Arrow batch.
+    It stays available for callers that ask for it (reports, analysis).
+    """
+
+    @pandas_udf(SCORE_UDF_RESULT)
+    def score_pairs(text_a: pd.Series, text_b: pd.Series,
                     jacc_est: pd.Series) -> pd.DataFrame:
-    n = len(text_a)
-    jw = np.zeros(n)
-    lev = np.zeros(n)
-    jac = jacc_est.to_numpy(dtype=np.float64, na_value=0.0).copy()
-    keep = [
-        i for i, (a, b) in enumerate(zip(text_a, text_b))
-        if isinstance(a, str) and isinstance(b, str)
-    ]
-    if keep:
-        ta = [text_a.iloc[i] for i in keep]
-        tb = [text_b.iloc[i] for i in keep]
-        bjw, blev = scorecore.score_batch(ta, tb)
-        jw[keep] = bjw
-        lev[keep] = blev
-        refine = [i for i in keep
-                  if JACC_REFINE_LO <= jac[i] <= JACC_REFINE_HI]
-        if refine:
-            jac[refine] = scorecore.jaccard_batch(
-                [text_a.iloc[i] for i in refine],
-                [text_b.iloc[i] for i in refine])
-    return pd.DataFrame({"jaro_winkler": jw, "lev_sim": lev, "jaccard": jac})
+        n = len(text_a)
+        jw = np.zeros(n)
+        lev = np.zeros(n)
+        jac = jacc_est.to_numpy(dtype=np.float64, na_value=0.0).copy()
+        keep = [
+            i for i, (a, b) in enumerate(zip(text_a, text_b))
+            if isinstance(a, str) and isinstance(b, str)
+        ]
+        if keep:
+            ta = [text_a.iloc[i] for i in keep]
+            tb = [text_b.iloc[i] for i in keep]
+            lev[keep] = scorecore.lev_sim_batch(ta, tb)
+            if compute_jw:
+                jw[keep] = scorecore.jw_batch(ta, tb)
+            refine = [i for i in keep
+                      if refine_lo <= jac[i] <= refine_hi]
+            if refine:
+                jac[refine] = scorecore.jaccard_batch(
+                    [text_a.iloc[i] for i in refine],
+                    [text_b.iloc[i] for i in refine])
+        jw_out = (pd.Series(jw) if compute_jw
+                  else pd.array([None] * n, dtype="Float64"))  # real nulls,
+        # matching the fast path's lit(None) — NaN would survive as NaN
+        return pd.DataFrame(
+            {"jaro_winkler": jw_out, "lev_sim": lev, "jaccard": jac})
+
+    return score_pairs
+
+
+# default instance (jw on, 0.50-threshold band) — unit tests and the bench
+# warmup exercise the full scorer surface through this
+score_pairs_udf = make_score_pairs_udf()

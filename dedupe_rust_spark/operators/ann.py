@@ -95,16 +95,28 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding",
 
 def srp_band_blocks(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", bits: int = 4,
-                    n_tables: int = 8, dim: int = 64, seed: int = 42
-                    ) -> DataFrame:
+                    n_tables: int = 8, dim: int = 64, seed: int = 42,
+                    seed_per_table: bool = False) -> DataFrame:
     """All SRP tables in ONE pass: -> (id, block_key) rows via a single
     posexplode, the same banding shape as MinHash-LSH (blocking.lsh_blocks).
     One scan, one explode, no per-table union — at 10^9 rows this is one
-    shuffle-join key stream instead of n_tables separate plans."""
+    shuffle-join key stream instead of n_tables separate plans.
+
+    seed_per_table=True draws table t's hyperplanes from RandomState(seed+t)
+    (first `bits` rows) — the exact plane family of the per-table
+    srp_bucket(seed=seed+t) loop, so callers migrating from per-table plans
+    keep identical bucket assignments. Default False keeps the one-stream
+    family used by lsh_cosine_pairs (its equality oracle pins it)."""
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables * bits, dim))
+    if seed_per_table:
+        planes = np.concatenate([
+            np.random.RandomState(seed + t).standard_normal((bits, dim))
+            for t in range(n_tables)
+        ])
+    else:
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((n_tables * bits, dim))
     buckets = []
     for t in range(n_tables):
         b = F.lit(0).cast("long")
@@ -169,24 +181,30 @@ def lsh_cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
                     ) -> DataFrame:
     """Bucketed ANN with multi-table OR-amplification: a pair is a
     candidate if it collides in ANY of `n_tables` independent SRP tables
-    (candidate prob = 1-(1-(1-theta/pi)^bits)^n_tables). Candidates are
-    unioned + distinct'd, vectors attached once, scored once, window top-k.
+    (candidate prob = 1-(1-(1-theta/pi)^bits)^n_tables). All tables come
+    from ONE srp_band_blocks pass per side — one corpus scan + one explode
+    (round-2 looped srp_bucket per table: n_tables separate corpus scans
+    + unionAll). seed_per_table=True keeps the per-table plane family, so
+    candidate sets — and the output rows — are identical to the loop form.
+    Candidates are distinct'd, vectors attached once, scored once, window
+    top-k.
 
     Recall/cost dial: more bits -> smaller buckets (cheaper, lower recall);
-    more tables -> higher recall (linear cost in bucketing passes).
+    more tables -> higher recall (linear cost in banding columns, not in
+    corpus scans).
     """
-    pairs: DataFrame | None = None
-    for t in range(n_tables):
-        cb = srp_bucket(corpus, vec_col, bits, dim, seed=42 + t).select(
-            F.col(id_col).alias("neighbor_id"), "bucket"
-        )
-        pb = srp_bucket(probes, vec_col, bits, dim, seed=42 + t).select(
-            F.col(id_col).alias("probe_id"), "bucket"
-        )
-        p = cb.join(F.broadcast(pb), "bucket").select("probe_id", "neighbor_id")
-        pairs = p if pairs is None else pairs.unionAll(p)
-    assert pairs is not None
-    pairs = pairs.filter(F.col("probe_id") != F.col("neighbor_id")).distinct()
+    cb = srp_band_blocks(corpus, id_col, vec_col, bits, n_tables, dim,
+                         seed=42, seed_per_table=True).withColumnRenamed(
+        id_col, "neighbor_id")
+    pb = srp_band_blocks(probes, id_col, vec_col, bits, n_tables, dim,
+                         seed=42, seed_per_table=True).withColumnRenamed(
+        id_col, "probe_id")
+    pairs = (
+        cb.join(F.broadcast(pb), "block_key")
+        .select("probe_id", "neighbor_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .distinct()
+    )
 
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("cv"))

@@ -1,9 +1,14 @@
 """Candidate pair generation: block self-join (reference analog B1).
 
 The reference's group-by-hash is the degenerate form of this equi
-self-join (/root/reference/src/main.rs:488-498). `url_a < url_b` removes
+self-join (/root/reference/src/main.rs:488-498). `id_a < id_b` removes
 the diagonal and symmetric pairs; dropDuplicates collapses pairs found by
 multiple bands (UNION+DISTINCT, SURVEY.md §2.1 set ops).
+
+Pairs are (id_a, id_b) LONGS — the surrogate keys assigned at the
+signature stage — so the pair-dedup shuffle and every downstream join
+moves 16 bytes of key per row instead of two url strings (~120-160 B).
+urls are joined back once at cluster output.
 
 Scale: the join shuffles on block_key; AQE skew-join splits hot keys.
 An optional SimHash prefilter (hamming <= threshold via xor+bit_count,
@@ -28,24 +33,24 @@ def candidate_pairs(blocks: DataFrame, keep_block_key: bool = True
     many times the distinct-pair count and every shuffled byte counts. The
     retained key of a multi-band pair is arbitrary anyway."""
     # the self-join reads blocks twice; materialize once (lazy) so the
-    # salting join + upstream window/explode lineage runs a single time
+    # salting join + upstream agg/explode lineage runs a single time
     blocks = blocks.localCheckpoint(eager=False)
     a = blocks.alias("a")
     b = blocks.alias("b")
     joined = (
         a.join(b, "block_key")
-        .filter(F.col("a.url") < F.col("b.url"))
+        .filter(F.col("a.id") < F.col("b.id"))
     )
     if keep_block_key:
         return joined.select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             "block_key",
-        ).dropDuplicates(["url_a", "url_b"])
+        ).dropDuplicates(["id_a", "id_b"])
     return joined.select(
-        F.col("a.url").alias("url_a"),
-        F.col("b.url").alias("url_b"),
-    ).dropDuplicates(["url_a", "url_b"])
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def simhash_prefilter(pairs: DataFrame, sig: DataFrame,
@@ -54,13 +59,13 @@ def simhash_prefilter(pairs: DataFrame, sig: DataFrame,
     """Join simhashes onto pairs and keep hamming(sim_a, sim_b) <= max.
     bit_count(a XOR b) is a codegen'd JVM expression — no Python.
     Short texts bypass the filter (see SHORT_TEXT_BYPASS)."""
-    sh = sig.select("url", "simhash", "n_chars")
+    sh = sig.select("id", "simhash", "n_chars")
     out = (
         pairs
         .join(sh.withColumnsRenamed(
-            {"url": "url_a", "simhash": "_sa", "n_chars": "_na"}), "url_a")
+            {"id": "id_a", "simhash": "_sa", "n_chars": "_na"}), "id_a")
         .join(sh.withColumnsRenamed(
-            {"url": "url_b", "simhash": "_sb", "n_chars": "_nb"}), "url_b")
+            {"id": "id_b", "simhash": "_sb", "n_chars": "_nb"}), "id_b")
         .withColumn("_ham", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .filter((F.col("_ham") <= max_hamming)
                 | (F.least("_na", "_nb") < short_bypass))

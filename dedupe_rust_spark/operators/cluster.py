@@ -11,17 +11,23 @@ diameter d; dedup clusters are near-cliques so 2-4 rounds in practice.
 `localCheckpoint()` per round truncates lineage (SURVEY.md §4.3.2); the
 convergence check is a changed-label count.
 
+The node type is whatever the edge columns carry — the pipeline feeds
+8-byte surrogate ids (longs), so every CC round shuffles longs; url
+strings are joined back exactly once, after the loop, in
+propagate_to_members.
+
 No GraphFrames dependency — plain joins + groupBy, shuffle-partitioned on
 the node key throughout so successive rounds reuse the hash partitioning.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """edges(src,dst) -> labels(url, cluster_id), cluster_id = min member.
+    """edges(src,dst) -> labels(node, cluster_id), cluster_id = min member
+    (by the node type's ordering — longs for the pipeline's surrogate ids).
 
     Only nodes that appear in an edge are returned (singletons are added by
     the caller if desired).
@@ -78,34 +84,45 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
 
-    return labels.select(F.col("node").alias("url"), F.col("label").alias("cluster_id"))
+    return labels.select("node", F.col("label").alias("cluster_id"))
 
 
-def propagate_to_members(rep_labels: DataFrame, ex_map: DataFrame
-                         ) -> DataFrame:
-    """Combine fuzzy CC labels over representatives with exact groups.
+def propagate_to_members(rep_labels: DataFrame, ex_map: DataFrame,
+                         id_urls: DataFrame) -> DataFrame:
+    """Combine fuzzy CC labels over representatives with exact groups and
+    join urls back — the ONE place the fuzzy path touches url strings.
 
-    ex_map: (url, root) from blocking.exact_group_map — root is the
-    exact-group min-url AND the representative that entered fuzzy blocking.
-    Final label per url = CC label of its root if the root was fuzzy-
-    matched, else the root itself; urls whose final cluster has a single
-    member are dropped (duplicate groups have >= 2, reference
-    main.rs:418-421). cluster_id stays min(url) of the whole cluster
-    because roots are group-minima and CC labels are root-minima.
+    rep_labels: (node=id, cluster_id=id-label) from connected_components
+    over representative ids.
+    ex_map: (id, root_id) from blocking.exact_group_map — root_id is the
+    exact-group min-url member's id AND the representative that entered
+    fuzzy blocking.
+    id_urls: (id, url) projection of the signatures table.
+
+    Label id per url = CC label of its root if the root was fuzzy-matched,
+    else the root itself; the label is then REWRITTEN to min(url) of the
+    cluster (hash agg + join — no window sort) so the output contract
+    (cluster_id = lexicographic min member url, reference main.rs:310-315)
+    is independent of how ids order. Urls whose final cluster has a single
+    member are dropped (duplicate groups have >= 2, main.rs:418-421).
     """
-    root_label = ex_map.select(F.col("root").alias("url")).distinct().join(
-        rep_labels.withColumnsRenamed({"cluster_id": "_cc"}), "url", "left"
-    ).select(F.col("url").alias("root"),
-             F.coalesce("_cc", "url").alias("label"))
-    labeled = ex_map.join(root_label, "root").select(
-        "url", F.col("label").alias("cluster_id")
+    root_label = ex_map.select(F.col("root_id").alias("node")).distinct().join(
+        rep_labels.withColumnsRenamed({"cluster_id": "_cc"}), "node", "left"
+    ).select(F.col("node").alias("root_id"),
+             F.coalesce("_cc", "node").alias("label_id"))
+    labeled = (
+        ex_map.join(root_label, "root_id")
+        .join(id_urls, "id")
+        .select("url", "label_id")
     )
-    w = Window.partitionBy("cluster_id")
-    return (
-        labeled.withColumn("_n", F.count("*").over(w))
+    # one aggregation computes the min-url label AND the >=2-member filter
+    groups = (
+        labeled.groupBy("label_id")
+        .agg(F.min("url").alias("cluster_id"), F.count("*").alias("_n"))
         .filter(F.col("_n") > 1)
-        .drop("_n")
+        .select("label_id", "cluster_id")
     )
+    return labeled.join(groups, "label_id").select("url", "cluster_id")
 
 
 def clusters_with_members(labels: DataFrame) -> DataFrame:

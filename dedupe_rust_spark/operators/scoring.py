@@ -1,15 +1,20 @@
 """Pair scoring: attach texts + MinHash, score, threshold.
 
 Reference analog: the deep verification tier (full decode + hash equality,
-/root/reference/src/main.rs:586-648) — generalized to Jaro-Winkler /
-Levenshtein-ratio / Jaccard with a match decision.
+/root/reference/src/main.rs:586-648) — generalized to Levenshtein-ratio /
+Jaccard with a match decision (Jaro-Winkler is computed only on request:
+it never participates in the decision, see `compute_jw`).
+
+Pairs arrive and leave as surrogate LONG ids (id_a, id_b) — the key
+currency of the whole fuzzy path; urls are joined back once at cluster
+output (cluster.propagate_to_members).
 
 Jaccard is the MINHASH ESTIMATE (fraction of agreeing signature rows,
 k=128), computed as a codegen'd zip_with equality over the signature
 arrays already joined onto the pair, then EXACTLY REFINED inside the
-score UDF only for pairs whose estimate lands in the decision band
-around the 0.50 threshold (udfs.JACC_REFINE_*). Round-1 re-shingled both
-texts per pair in Python for EVERY pair (the dominant scoring cost: a
+score UDF only for pairs whose estimate lands in the decision band around
+the configured jaccard threshold (udfs.refine_bounds). Round-1 re-shingled
+both texts per pair in Python for EVERY pair (the dominant scoring cost: a
 text in k candidate pairs re-shingled k times); now only the narrow
 boundary band pays that, and the F1-vs-scale table is unchanged.
 
@@ -30,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.sigcore import MINHASH_K
-from ..functions.udfs import score_pairs_udf
+from ..functions.udfs import make_score_pairs_udf, refine_bounds
 
 LEV_MATCH = 0.85
 JACCARD_MATCH = 0.50
@@ -49,21 +54,21 @@ def minhash_jaccard_expr(mh_a, mh_b):
 
 
 def attach_estimates(pairs: DataFrame, sig: DataFrame) -> DataFrame:
-    """pairs + JVM-side MinHash-Jaccard estimate: (url_a, url_b, jacc_est).
+    """pairs + JVM-side MinHash-Jaccard estimate: (id_a, id_b, jacc_est).
 
     The signature arrays are DROPPED in the same projection — they never
     ride the downstream pair shuffles (at 7.8M pairs the arrays were
     multiple GB of extra shuffle, which erased the Python savings at high
     parallelism: memory bandwidth is the shared resource at 32 cores)."""
-    mh = sig.select("url", "minhash")
+    mh = sig.select("id", "minhash")
     return (
-        pairs.select("url_a", "url_b")
+        pairs.select("id_a", "id_b")
         .join(mh.withColumnsRenamed(
-            {"url": "url_a", "minhash": "_ma"}), "url_a")
+            {"id": "id_a", "minhash": "_ma"}), "id_a")
         .join(mh.withColumnsRenamed(
-            {"url": "url_b", "minhash": "_mb"}), "url_b")
+            {"id": "id_b", "minhash": "_mb"}), "id_b")
         .select(
-            "url_a", "url_b",
+            "id_a", "id_b",
             minhash_jaccard_expr(F.col("_ma"), F.col("_mb")).alias("jacc_est"),
         )
     )
@@ -71,31 +76,38 @@ def attach_estimates(pairs: DataFrame, sig: DataFrame) -> DataFrame:
 
 def score_estimated(est_pairs: DataFrame, sig: DataFrame,
                     lev_match: float = LEV_MATCH,
-                    jaccard_match: float = JACCARD_MATCH) -> DataFrame:
+                    jaccard_match: float = JACCARD_MATCH,
+                    compute_jw: bool = False) -> DataFrame:
     """Fast/slow split on the estimate:
-      * est >= max(JACC_REFINE_HI, jaccard_match): is_match is already
+      * est >= max(refine_hi, jaccard_match): is_match is already
         decided TRUE (jaccard path; lev cannot flip a True) — no text
         join, no UDF. jw/lev are null on these rows.
-      * below the cut: texts attached, scorer UDF runs, exact Jaccard
-        refinement inside the decision band.
+      * below the cut OR est is NULL (a side with no minhash signature):
+        texts attached, scorer UDF runs with the estimate's na treated as
+        0.0, exact Jaccard refinement inside the decision band. Null
+        estimates cannot take the fast path (nothing to decide on) and
+        MUST NOT vanish — the filters are complementary by construction.
     On web corpora most LSH candidates are true near-dups, so the fast
     path removes the text shuffle + Python scoring for the bulk of pairs.
-    """
-    from ..functions.udfs import JACC_REFINE_HI
 
-    fast_cut = max(JACC_REFINE_HI, jaccard_match)
+    compute_jw=True additionally emits Jaro-Winkler on slow-path rows
+    (null on fast-path rows); it never affects is_match.
+    """
+    refine_lo, refine_hi = refine_bounds(jaccard_match)
+    fast_cut = max(refine_hi, jaccard_match)
     fast = est_pairs.filter(F.col("jacc_est") >= fast_cut).select(
-        "url_a", "url_b",
+        "id_a", "id_b",
         F.lit(None).cast("double").alias("jaro_winkler"),
         F.lit(None).cast("double").alias("lev_sim"),
         F.col("jacc_est").alias("jaccard"),
         F.lit(True).alias("is_match"),
     )
-    texts = sig.select("url", "text")
+    texts = sig.select("id", "text")
     slow = (
-        est_pairs.filter(F.col("jacc_est") < fast_cut)
-        .join(texts.withColumnsRenamed({"url": "url_a", "text": "_ta"}), "url_a")
-        .join(texts.withColumnsRenamed({"url": "url_b", "text": "_tb"}), "url_b")
+        est_pairs.filter((F.col("jacc_est") < fast_cut)
+                         | F.col("jacc_est").isNull())
+        .join(texts.withColumnsRenamed({"id": "id_a", "text": "_ta"}), "id_a")
+        .join(texts.withColumnsRenamed({"id": "id_b", "text": "_tb"}), "id_b")
     )
     # AQE coalesces the (byte-wise small) pair shuffle down to few
     # partitions, which would serialize the CPU-heavy scorer UDF. Spread
@@ -103,11 +115,12 @@ def score_estimated(est_pairs: DataFrame, sig: DataFrame,
     # parallelism on the most expensive per-row stage.
     par = est_pairs.sparkSession.sparkContext.defaultParallelism
     slow = slow.repartition(2 * par)
+    score_udf = make_score_pairs_udf(refine_lo, refine_hi, compute_jw)
     scored = slow.withColumn(
-        "s", score_pairs_udf(F.col("_ta"), F.col("_tb"), F.col("jacc_est"))
+        "s", score_udf(F.col("_ta"), F.col("_tb"), F.col("jacc_est"))
     ).select(
-        "url_a",
-        "url_b",
+        "id_a",
+        "id_b",
         F.col("s.jaro_winkler").alias("jaro_winkler"),
         F.col("s.lev_sim").alias("lev_sim"),
         F.col("s.jaccard").alias("jaccard"),
@@ -121,14 +134,15 @@ def score_estimated(est_pairs: DataFrame, sig: DataFrame,
 
 def score_candidates(pairs: DataFrame, sig: DataFrame,
                      lev_match: float = LEV_MATCH,
-                     jaccard_match: float = JACCARD_MATCH) -> DataFrame:
+                     jaccard_match: float = JACCARD_MATCH,
+                     compute_jw: bool = False) -> DataFrame:
     """attach_estimates + score_estimated in one call (the estimate table
     is lazily materialized since both branches of the split consume it)."""
     est = attach_estimates(pairs, sig).localCheckpoint(eager=False)
-    return score_estimated(est, sig, lev_match, jaccard_match)
+    return score_estimated(est, sig, lev_match, jaccard_match, compute_jw)
 
 
 def match_edges(scores: DataFrame) -> DataFrame:
     return scores.filter(F.col("is_match")).select(
-        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

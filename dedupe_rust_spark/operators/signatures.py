@@ -35,16 +35,29 @@ def extract(pages: DataFrame, use_golden_text: bool = False) -> DataFrame:
 def signatures(extracted: DataFrame) -> DataFrame:
     """Attach all signature columns; drops rows with no extractable text
     (the reference silently drops undecodable files, main.rs:381-391 —
-    we filter explicitly and the pipeline counts drops into metrics)."""
+    we filter explicitly and the pipeline counts drops into metrics).
+
+    `id = xxhash64(url)` is the surrogate join/shuffle key for the whole
+    fuzzy path (blocking -> candidates -> scoring -> CC): an 8-byte long
+    instead of a 60-80 B url string on every band row, pair row, and CC
+    round — 4-8x fewer shuffled key bytes at scale. urls are joined back
+    exactly once, at cluster output (cluster.propagate_to_members).
+    Collision math: 64-bit birthday bound ~n^2/2^65 — negligible at sandbox
+    scales, ~3e4 expected colliding url pairs at 10^12 docs; the pipeline
+    AUDITS (count distinct id vs url) and fails fast rather than silently
+    merging clusters (plans/pipeline.py). At trillion-doc scale swap in a
+    128-bit key (two independent 64-bit hash columns) — same dataflow.
+    """
     sig = (
         extracted
+        .withColumn("id", F.xxhash64(F.col("url")))
         .withColumn("prefix_hash",
                     F.xxhash64(F.expr(f"substring(html, 1, {PREFIX_BYTES})")))
         .withColumn("text_sha256", F.sha2(F.col("text").cast("binary"), 256))
         .withColumn("n_chars", F.length("text").cast("int"))
         .withColumn("sig", signatures_udf(F.col("text")))
         .select(
-            "url", "host", "lang", "text",
+            "id", "url", "host", "lang", "text",
             "text_sha256", "prefix_hash",
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),

@@ -36,6 +36,10 @@ class PipelineConfig:
     max_hamming: int = cand.SIMHASH_HAMMING_MAX
     use_golden_text: bool = False
     exclude_hosts: list[str] = field(default_factory=list)
+    # jw never participates in is_match (lev OR jaccard); computing it for
+    # every slow-path pair was pure dead CPU in the hottest UDF. Opt in for
+    # analysis runs that want the column populated.
+    compute_jw: bool = False
     # checkpoints=False is the throughput fast path: stages fuse into a
     # handful of jobs (no per-stage materialization/count, no per-partition
     # lineage, no cap census). Same results; resumability and fine-grained
@@ -61,9 +65,10 @@ def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None
     if cfg.simhash_prefilter:
         pairs = cand.simhash_prefilter(pairs, sig, cfg.max_hamming)
     scores = scoring.score_candidates(pairs, sig, cfg.lev_match,
-                                      cfg.jaccard_match)
+                                      cfg.jaccard_match, cfg.compute_jw)
     rep_labels = cluster.connected_components(scoring.match_edges(scores))
-    return cluster.propagate_to_members(rep_labels, ex_map)
+    return cluster.propagate_to_members(rep_labels, ex_map,
+                                        sig.select("id", "url"))
 
 
 class DedupPipeline:
@@ -95,6 +100,7 @@ class DedupPipeline:
                 "prefilter": c.simhash_prefilter, "hamming": c.max_hamming,
                 "golden": c.use_golden_text,
                 "exclude": sorted(c.exclude_hosts),
+                "jw": c.compute_jw,
             },
             sort_keys=True,
         )
@@ -173,6 +179,20 @@ class DedupPipeline:
             # per-partition lineage for the extract stage (north rule): rows
             # per partition + drop accounting, written into metrics
             self._partition_lineage(sig, "signatures")
+            # surrogate-id collision audit: a 64-bit id collision between
+            # two distinct urls would silently merge their clusters. One
+            # cheap two-column distinct-count agg; fail fast instead.
+            t0 = time.monotonic()
+            r = sig.agg(F.countDistinct("id").alias("ids"),
+                        F.countDistinct("url").alias("urls")).first()
+            self.stage_metrics.append(
+                {"stage": "id_audit", "rows_out": r["urls"] - r["ids"],
+                 "run_id": self.run_id,
+                 "wall_ms": int((time.monotonic() - t0) * 1000)})
+            if r["ids"] != r["urls"]:
+                raise RuntimeError(
+                    f"xxhash64(url) collision: {r['urls']} urls -> "
+                    f"{r['ids']} ids; use a wider surrogate key")
 
         ex_map = blocking.exact_group_map(sig)
         reps = blocking.exact_representatives(sig)
@@ -196,7 +216,8 @@ class DedupPipeline:
                                "candidates")
 
         scores = scoring.score_estimated(est, sig, self.cfg.lev_match,
-                                         self.cfg.jaccard_match)
+                                         self.cfg.jaccard_match,
+                                         self.cfg.compute_jw)
         scores = self._checkpoint(scores, "scores")
 
         # Transitive closure runs over FUZZY edges between exact-group
@@ -206,7 +227,8 @@ class DedupPipeline:
         # share their root's final label.
         t0 = time.monotonic()
         rep_labels = cluster.connected_components(scoring.match_edges(scores))
-        labels = cluster.propagate_to_members(rep_labels, ex_map)
+        labels = cluster.propagate_to_members(rep_labels, ex_map,
+                                              sig.select("id", "url"))
         self.stage_metrics.append(
             {"stage": "cc_loop", "rows_out": -1, "run_id": self.run_id,
              "wall_ms": int((time.monotonic() - t0) * 1000)})

@@ -414,8 +414,12 @@ SQL_QUALITY = f"""
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID vs the stored lang column (rows-only; the
-    n-gram profile matcher is not SQL-expressible)."""
+    """Heuristic language-ID vs the stored lang column. HARD ORACLE since
+    round 3: the detector (textstats.detect_lang) is a deterministic
+    function-word hit count over the first 400 \\w+ tokens with a
+    sorted-language tie-break — DuckDB recomputes it from first principles
+    (regexp_extract_all + list_intersect), so detector ACCURACY (the full
+    lang x lang_detected census), not just determinism, is value-checked."""
     from ..operators.textops import language_id
 
     d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -426,12 +430,62 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markers_sql(lang: str) -> str:
+    from ..functions.textstats import _LANG_MARKERS
+
+    return "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+
+
+SQL_LANGID = f"""
+    WITH dpages AS ({_DPAGES_SQL}),
+    toks AS (
+      SELECT lang,
+             list_distinct(list_slice(
+                 regexp_extract_all(lower(text), '\\w+'), 1, 400)) AS tk
+      FROM dpages WHERE text IS NOT NULL
+    ),
+    hits AS (
+      SELECT lang,
+             len(list_intersect(tk, {_markers_sql('de')})) AS h_de,
+             len(list_intersect(tk, {_markers_sql('en')})) AS h_en,
+             len(list_intersect(tk, {_markers_sql('es')})) AS h_es,
+             len(list_intersect(tk, {_markers_sql('fr')})) AS h_fr
+      FROM toks
+    ),
+    det AS (
+      SELECT lang,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) < 2 THEN 'zz'
+                  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_detected
+      FROM hits
+    )
+    SELECT lang, lang_detected, count(*) AS n
+    FROM det GROUP BY lang, lang_detected
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (rows-only)."""
+    """Winnowing-style rolling-hash fingerprints. HARD ORACLE since round 3:
+    the operator is all-builtin (min md5 over 64-char blocks at step 32,
+    operators/textops.fingerprints), which DuckDB evaluates identically."""
     from ..operators.textops import fingerprints
 
     d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
     return fingerprints(d).select("url", "fingerprint")
+
+
+SQL_FPRINT = f"""
+    WITH dpages AS ({_DPAGES_SQL}),
+    idx AS (
+      SELECT url, text,
+             unnest(range(1, greatest(length(text) - 63, 1) + 1, 32)) AS i
+      FROM dpages WHERE text IS NOT NULL
+    )
+    SELECT url, min(md5(substring(text, i, 64))) AS fingerprint
+    FROM idx GROUP BY url
+"""
 
 
 def _u8(v):
@@ -698,16 +752,27 @@ def _dpages_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banded candidate pairs over dpages (fuzzy blocking)."""
+    """MinHash-LSH banded candidate pairs over dpages (fuzzy blocking).
+    The fuzzy path runs on surrogate long ids; urls are joined back here at
+    output, canonicalized url_a < url_b."""
     from ..operators import blocking
     from ..operators.candidates import candidate_pairs
     from ..operators.signatures import signatures as sig_stage
 
-    sig = sig_stage(_dpages_as_pages(spark, sf_dir))
+    sig = sig_stage(_dpages_as_pages(spark, sf_dir)).localCheckpoint(eager=False)
     reps = blocking.exact_representatives(sig)
     blocks = blocking.lsh_blocks(reps)
     pruned, _ = blocking.prune_blocks(blocks)
-    return candidate_pairs(pruned)
+    cands = candidate_pairs(pruned)
+    urls = sig.select("id", "url")
+    return (
+        cands
+        .join(urls.withColumnsRenamed({"id": "id_a", "url": "_ua"}), "id_a")
+        .join(urls.withColumnsRenamed({"id": "id_b", "url": "_ub"}), "id_b")
+        .select(F.least("_ua", "_ub").alias("url_a"),
+                F.greatest("_ua", "_ub").alias("url_b"),
+                "block_key")
+    )
 
 
 def q_inv_exact_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,7 +817,14 @@ def q_inv_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = sig_stage(_dpages_as_pages(spark, sf_dir)).localCheckpoint()
     pruned, _ = blocking.prune_blocks(blocking.lsh_blocks(sig))
-    cands = candidate_pairs(pruned, keep_block_key=False)
+    urls = sig.select("id", "url")
+    cands = (
+        candidate_pairs(pruned, keep_block_key=False)
+        .join(urls.withColumnsRenamed({"id": "id_a", "url": "_ua"}), "id_a")
+        .join(urls.withColumnsRenamed({"id": "id_b", "url": "_ub"}), "id_b")
+        .select(F.least("_ua", "_ub").alias("url_a"),
+                F.greatest("_ua", "_ub").alias("url_b"))
+    )
     s = sig.select("url", "text_sha256")
     a, b = s.alias("a"), s.alias("b")
     exact_pairs = (
@@ -841,6 +913,105 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, probes, k=5, bits=4, n_tables=8)
 
 
+def q_inv_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for bucketed ANN top-k (tie-proof): for each probe,
+    count how many of the LSH top-k picks have cosine >= the brute-force
+    k-th cosine. Float ties make "same neighbor ids" engine-fragile, but
+    "every pick is at least as close as the true k-th neighbor" is exact —
+    and the DuckDB twin recomputes the k-th cosine from first principles,
+    so both the threshold value AND the count (= k iff LSH top-k is
+    rank-equivalent to brute force) are checked. Covers the two rows-only
+    top-k entries (ann_cosine_topk / lsh_cosine_topk)."""
+    from pyspark.sql import Window
+
+    from ..operators.ann import _dot, _norm, lsh_cosine_topk
+
+    k = 5
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    probes = emb.filter(F.col("vec_id") < 10)
+    # amplification sized for top-k recall 1: the k-th neighbor sits at
+    # cosine ~0.26-0.35 here, where a 4-bit table collides w.p. ~0.12 —
+    # 64 tables drive the per-neighbor miss rate to ~3e-4 (same table
+    # count the oracled lsh_emb_dups pairs path uses). The 8-table catalog
+    # entry (lsh_cosine_topk) stays as the cheap operating point.
+    picks = lsh_cosine_topk(emb, probes, k=k, bits=4, n_tables=64).select(
+        "probe_id", "neighbor_id")
+
+    # cosine at round-4 (engine-portable float contract, like emb_cosine_dups)
+    pv = probes.select(F.col("vec_id").alias("probe_id"),
+                       F.col("embedding").alias("pv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cv"))
+    cos4 = F.round(_dot(F.col("pv"), F.col("cv"))
+                   / (_norm(F.col("pv")) * _norm(F.col("cv"))), 4)
+
+    # brute-force k-th cosine per probe
+    scored = (cv.join(F.broadcast(pv), F.col("probe_id") != F.col("neighbor_id"))
+              .withColumn("cosine", cos4))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    kth = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == k)
+           .select("probe_id", F.col("cosine").alias("kth_cosine")))
+
+    pick_cos = (picks.join(cv, "neighbor_id").join(F.broadcast(pv), "probe_id")
+                .withColumn("cosine", cos4))
+    return (
+        pick_cos.join(kth, "probe_id")
+        .groupBy("probe_id", "kth_cosine")
+        .agg(F.sum(F.when(F.col("cosine") >= F.col("kth_cosine"), 1)
+                   .otherwise(0)).alias("n_in_topk"))
+        .select("probe_id", F.lit(k).cast("long").alias("k"),
+                "kth_cosine", F.col("n_in_topk").cast("long"))
+    )
+
+
+_SQL_COS4 = """round(list_sum(list_transform(list_zip(p.embedding, e.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"""
+
+SQL_INV_ANN = f"""
+    WITH sc AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             {_SQL_COS4} AS cosine
+      FROM embeddings p JOIN embeddings e ON p.vec_id < 10
+                                         AND e.vec_id <> p.vec_id
+    ),
+    r AS (
+      SELECT probe_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM sc
+    )
+    SELECT probe_id, CAST(5 AS BIGINT) AS k, cosine AS kth_cosine,
+           CAST(5 AS BIGINT) AS n_in_topk
+    FROM r WHERE rk = 5
+"""
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting through the real operator (textops.token_counts):
+    whitespace tokens (builtin) + BPE-ish pre-tokenizer count (Arrow UDF
+    over the public GPT-2-style regex) — both DuckDB-recomputable."""
+    from ..operators.textops import token_counts
+
+    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+    return token_counts(d).select("url", "n_tokens_ws", "n_tokens_bpe")
+
+
+SQL_BPE = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT url,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|\\d{{1,3}}|[^\\sA-Za-z\\d]'))
+           AS n_tokens_bpe
+    FROM dpages WHERE text IS NOT NULL
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 per distinct text (rows-only; pinned by unit vectors)."""
     from ..functions.udfs import signatures_udf
@@ -897,6 +1068,8 @@ def catalog():
         "inv_simhash_consistent": q_inv_simhash_consistent,
         "inv_fingerprint_consistent": q_inv_fingerprint_consistent,
         "inv_langid_consistent": q_inv_langid_consistent,
+        "inv_ann_recall": q_inv_ann_recall,
+        "bpe_token_counts": q_bpe_token_counts,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "emb_cosine_dups": q_emb_cosine_dups,
@@ -931,6 +1104,10 @@ def catalog():
         "inv_simhash_consistent": SQL_INV_EXACT,
         "inv_fingerprint_consistent": SQL_INV_EXACT,
         "inv_langid_consistent": SQL_INV_EXACT,
+        "inv_ann_recall": SQL_INV_ANN,
+        "bpe_token_counts": SQL_BPE,
+        "langid": SQL_LANGID,
+        "fingerprints": SQL_FPRINT,
         "quality_filter": SQL_QUALITY,
         "w1_topk_per_host": SQL_W1,
         "set_unmirrored": SQL_SET,

@@ -20,6 +20,9 @@ PAGES = T.StructType(
 
 SIGNATURES = T.StructType(
     [
+        # id = xxhash64(url): the 8-byte surrogate key the whole fuzzy path
+        # (blocks, pairs, scores, CC) shuffles instead of url strings
+        T.StructField("id", T.LongType(), False),
         T.StructField("url", T.StringType(), False),
         T.StructField("host", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
@@ -51,22 +54,22 @@ SIG_UDF_RESULT = T.StructType(
 BLOCKS = T.StructType(
     [
         T.StructField("block_key", T.StringType(), False),
-        T.StructField("url", T.StringType(), False),
+        T.StructField("id", T.LongType(), False),
     ]
 )
 
 CANDIDATES = T.StructType(
     [
-        T.StructField("url_a", T.StringType(), False),
-        T.StructField("url_b", T.StringType(), False),
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
         T.StructField("block_key", T.StringType(), False),
     ]
 )
 
 SCORES = T.StructType(
     [
-        T.StructField("url_a", T.StringType(), False),
-        T.StructField("url_b", T.StringType(), False),
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
         T.StructField("jaro_winkler", T.DoubleType(), True),
         T.StructField("lev_sim", T.DoubleType(), True),
         T.StructField("jaccard", T.DoubleType(), True),

@@ -33,7 +33,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench JVMs are throwaway); SPARK_GRAFT_UI=1
+        # turns it on so bench.py can read per-stage shuffle bytes from the
+        # REST API (the auditable metric behind BENCH/BASELINE.md).
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # Local-mode shuffle goes through spark.local.dir; on this sandbox the

@@ -21,17 +21,29 @@ retried after a partial failure REWRITES its own partition instead of
 appending duplicates, so the sink contents are idempotent per batch
 (effectively exactly-once at the directory level). A plain append here
 would be at-least-once: retries double match rows and double-count state.
+The match join reads state STRICTLY OLDER than the current batch
+(batch_id < N): a retry of batch N must not see its own failed attempt's
+partial state, or min(url) could resolve inside the batch and the retry
+would emit different matches than a clean first run.
 
-State layout: partitioned by `sha_prefix` (first hex char of text_sha256,
-16 shards) under each batch directory. At scale the per-batch match join
-co-partitions on the same prefix (both sides carry it as a join key), and
-prefix-restricted reads prune to 1/16 of the state files (asserted in
-tests/test_streaming.py) instead of re-scanning everything.
+State layout:
+  state_dir/batches/batch_id=N/sha_prefix=H/   fresh per-batch state
+  state_dir/compacted/upto=K/sha_prefix=H/     folded batches 0..K
+Every `compact_every` batches, process_batch folds all committed batch
+dirs (< current batch) plus the previous compacted snapshot into a new
+`upto=` snapshot and deletes what it folded — state reads stay O(state),
+not O(batches). Readers take ONLY the max `upto=` snapshot, so a crash
+between writing a new snapshot and deleting the old one never
+double-counts (and duplicates would be harmless anyway: the match join
+aggregates min(url) per sha). sha_prefix partitioning (16 shards) lets
+prefix-restricted reads prune to 1/16 of the files (asserted in
+tests/test_streaming.py).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -40,21 +52,81 @@ from ..schemas import PAGES
 from ..sources.pages import clean_pages
 
 SIG_STATE_COLS = ["url", "host", "lang", "text_sha256", "n_chars"]
+DEFAULT_COMPACT_EVERY = 8
 
 
-def _state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Read the accumulated signature state (batch_id=*/sha_prefix=* layout);
-    None when no batch has committed state yet."""
-    if not os.path.isdir(state_dir):
+def _batch_ids(state_dir: str) -> list[int]:
+    bdir = os.path.join(state_dir, "batches")
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(int(f.split("=", 1)[1]) for f in os.listdir(bdir)
+                  if f.startswith("batch_id="))
+
+
+def _compacted_uptos(state_dir: str) -> list[int]:
+    cdir = os.path.join(state_dir, "compacted")
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(int(f.split("=", 1)[1]) for f in os.listdir(cdir)
+                  if f.startswith("upto="))
+
+
+def _state(spark: SparkSession, state_dir: str,
+           before_batch: int | None = None) -> DataFrame | None:
+    """Accumulated signature state: newest compacted snapshot + batch dirs.
+    before_batch=N excludes state written by batch N or later — the
+    retry-safety contract (a snapshot only ever folds batches < any live
+    batch, so snapshots never need the filter)."""
+    parts: list[DataFrame] = []
+    uptos = _compacted_uptos(state_dir)
+    if uptos:
+        parts.append(
+            spark.read.parquet(
+                os.path.join(state_dir, "compacted", f"upto={uptos[-1]}")
+            ).select(*SIG_STATE_COLS, "sha_prefix")
+        )
+    bids = [b for b in _batch_ids(state_dir)
+            if before_batch is None or b < before_batch]
+    if bids:
+        bdir = os.path.join(state_dir, "batches")
+        parts.append(
+            spark.read.option("basePath", bdir).parquet(
+                *[os.path.join(bdir, f"batch_id={b}") for b in bids]
+            ).select(*SIG_STATE_COLS, "sha_prefix")
+        )
+    if not parts:
         return None
-    if not any(f.startswith("batch_id=") for f in os.listdir(state_dir)):
-        return None
-    return spark.read.option("basePath", state_dir).parquet(state_dir)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _compact(spark: SparkSession, state_dir: str, current_batch: int) -> None:
+    """Fold committed batch dirs (< current_batch) + the previous snapshot
+    into compacted/upto=<current_batch-1>, then delete what was folded.
+    Idempotent: a retried fold overwrites the same upto dir; readers use
+    the MAX upto snapshot so stragglers are ignored until removed."""
+    bids = [b for b in _batch_ids(state_dir) if b < current_batch]
+    if not bids:
+        return
+    folded = _state(spark, state_dir, before_batch=current_batch)
+    upto = current_batch - 1
+    target = os.path.join(state_dir, "compacted", f"upto={upto}")
+    folded.write.partitionBy("sha_prefix").mode("overwrite").parquet(target)
+    for b in bids:
+        shutil.rmtree(os.path.join(state_dir, "batches", f"batch_id={b}"),
+                      ignore_errors=True)
+    for u in _compacted_uptos(state_dir):
+        if u != upto:
+            shutil.rmtree(os.path.join(state_dir, "compacted", f"upto={u}"),
+                          ignore_errors=True)
 
 
 def start_incremental_dedup(spark: SparkSession, input_dir: str,
                             state_dir: str, matches_dir: str,
-                            checkpoint_dir: str, available_now: bool = True):
+                            checkpoint_dir: str, available_now: bool = True,
+                            compact_every: int = DEFAULT_COMPACT_EVERY):
     """Start the stream; returns the StreamingQuery (caller awaits it)."""
     stream = (
         spark.readStream.schema(PAGES)
@@ -69,7 +141,9 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
             .withColumn("sha_prefix", F.substring("text_sha256", 1, 1))
             .localCheckpoint()  # batch_df is single-use; state join re-reads
         )
-        prev = _state(spark, state_dir)
+        # pre-batch state only: batch_id < N excludes a failed attempt's
+        # own partial writes, so retry output == first-run output
+        prev = _state(spark, state_dir, before_batch=batch_id)
         if prev is not None:
             seen = prev.groupBy("sha_prefix", "text_sha256").agg(
                 F.min("url").alias("first_url")
@@ -87,7 +161,9 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
         matches.write.mode("overwrite").parquet(
             os.path.join(matches_dir, f"batch_id={batch_id}"))
         sig.write.partitionBy("sha_prefix").mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch_id={batch_id}"))
+            os.path.join(state_dir, "batches", f"batch_id={batch_id}"))
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            _compact(spark, state_dir, current_batch=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -145,10 +145,10 @@ def test_score_split_decisions_match_exact(spark, sig):
         blocking.all_blocks(blocking.exact_representatives(sig)))
     pairs = cand.candidate_pairs(pruned, keep_block_key=False)
     got = scoring.score_candidates(pairs, sig).toPandas()
-    texts = {r.url: r.text for r in sig.select("url", "text").collect()}
+    texts = {r.id: r.text for r in sig.select("id", "text").collect()}
     flipped = 0
     for r in got.itertuples():
-        ta, tb = texts[r.url_a], texts[r.url_b]
+        ta, tb = texts[r.id_a], texts[r.id_b]
         exact = (scorecore.lev_sim(ta, tb) >= scoring.LEV_MATCH
                  or scorecore.jaccard_shingles(ta, tb) >= scoring.JACCARD_MATCH)
         if bool(r.is_match) != exact:
@@ -168,7 +168,7 @@ def test_spark_cc_matches_unionfind(spark):
                                      for _ in range(100)) if a != b})
     expect = uf_cc(edge_list)
     edges = spark.createDataFrame(edge_list, "src string, dst string")
-    got = {r.url: r.cluster_id
+    got = {r.node: r.cluster_id
            for r in cluster.connected_components(edges).collect()}
     assert got == expect
 
@@ -179,16 +179,16 @@ def test_prune_unsalted_pairs_unchanged(spark, sig):
     (salting only rewrites oversized keys)."""
     blocks = blocking.all_blocks(blocking.exact_representatives(sig))
     kept, _ = blocking.prune_blocks(blocks, max_block=10**9)  # nothing salts
-    got = {(r.url_a, r.url_b)
+    got = {(r.id_a, r.id_b)
            for r in cand.candidate_pairs(kept, keep_block_key=False).collect()}
     local = blocks.toPandas()
     expect = set()
     for _, grp in local.groupby("block_key"):
-        urls = sorted(grp["url"])
-        if len(urls) > 1:
-            for i in range(len(urls)):
-                for j in range(i + 1, len(urls)):
-                    expect.add((urls[i], urls[j]))
+        ids = sorted(grp["id"])
+        if len(ids) > 1:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    expect.add((ids[i], ids[j]))
     assert got == expect
 
 

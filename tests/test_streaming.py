@@ -10,7 +10,9 @@ import pyarrow.parquet as pq
 
 from dedupe_rust_spark.datagen import _PA_PAGES, EPOCH
 from dedupe_rust_spark.functions.textcore import render_html
-from dedupe_rust_spark.streaming.incremental import start_incremental_dedup
+from dedupe_rust_spark.streaming.incremental import (
+    _state, start_incremental_dedup,
+)
 
 
 def _write_wave(path: str, rows: list[tuple[str, bytes]]) -> None:
@@ -55,7 +57,7 @@ def test_incremental_dedup_two_waves(spark, tmp_path):
     assert matches.iloc[0]["url"] == "https://h2.example.com/a-copy.html"
     assert matches.iloc[0]["first_url"] == "https://h1.example.com/a.html"
 
-    state = spark.read.option("basePath", state_dir).parquet(state_dir)
+    state = _state(spark, state_dir)
     assert state.count() == 4  # all four pages signed into state
 
     # state is sharded by sha_prefix: a prefix-restricted read must prune
@@ -75,5 +77,107 @@ def test_incremental_dedup_two_waves(spark, tmp_path):
                                  ckpt)
     q3.awaitTermination(120)
     assert len(spark.read.parquet(matches_dir).toPandas()) == 1
-    assert spark.read.option("basePath",
-                             state_dir).parquet(state_dir).count() == 4
+    assert _state(spark, state_dir).count() == 4
+
+
+def test_incremental_retry_reproduces_first_run(spark, tmp_path):
+    """A retried micro-batch must emit the same matches as a clean first
+    run. Failure mode guarded: the retry reads its OWN failed attempt's
+    state (written before the commit), min(url) resolves to a url from the
+    current batch, and the url != first_url filter silently drops a real
+    match. The state join therefore excludes batch_id >= current. The
+    retry is simulated faithfully: delete the streaming checkpoint's
+    commit marker for the last batch and restart — Structured Streaming
+    re-executes that batch against the already-written sinks."""
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    doc_a = render_html("Title A", ["retry body alpha " * 5])
+    # wave-1 url sorts AFTER the wave-2 copy's url: min(url) over a state
+    # that wrongly included wave 2 itself would pick the copy's own url
+    _write_wave(os.path.join(input_dir, "w1.parquet"),
+                [("https://z.example.com/a.html", doc_a)])
+    q = start_incremental_dedup(spark, input_dir, state_dir, matches_dir, ckpt)
+    q.awaitTermination(120)
+
+    _write_wave(os.path.join(input_dir, "w2.parquet"),
+                [("https://a.example.com/copy.html", doc_a)])
+    q2 = start_incremental_dedup(spark, input_dir, state_dir, matches_dir, ckpt)
+    q2.awaitTermination(120)
+
+    expect = {("https://a.example.com/copy.html",
+               "https://z.example.com/a.html")}
+    m1 = {(r.url, r.first_url) for r in
+          spark.read.parquet(matches_dir).toPandas().itertuples()}
+    assert m1 == expect
+
+    # simulate a crash after the sinks were written but before the batch
+    # committed: drop the commit marker (and its Hadoop ChecksumFs .crc
+    # sidecar, or the retry's commit rename fails) and restart
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q3 = start_incremental_dedup(spark, input_dir, state_dir, matches_dir, ckpt)
+    q3.awaitTermination(120)
+    m2 = {(r.url, r.first_url) for r in
+          spark.read.parquet(matches_dir).toPandas().itertuples()}
+    assert m2 == expect  # neither dropped nor duplicated
+    assert _state(spark, state_dir).count() == 2
+
+
+def test_incremental_state_compaction(spark, tmp_path):
+    """Every compact_every batches the batch_id= state dirs fold into ONE
+    compacted/upto=K snapshot (reads stay O(state), not O(batches)); later
+    batches must match against the compacted snapshot transparently."""
+    import pyspark.sql.functions as F
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    doc_a = render_html("Title A", ["compaction body alpha " * 5])
+    doc_b = render_html("Title B", ["compaction body beta " * 5])
+    doc_d = render_html("Title D", ["compaction body delta " * 5])
+
+    def run_wave(name, rows):
+        _write_wave(os.path.join(input_dir, name), rows)
+        q = start_incremental_dedup(spark, input_dir, state_dir,
+                                    matches_dir, ckpt, compact_every=2)
+        q.awaitTermination(120)
+
+    run_wave("w1.parquet", [("https://h1.example.com/a.html", doc_a),
+                            ("https://h1.example.com/b.html", doc_b)])
+    run_wave("w2.parquet", [("https://h2.example.com/a-copy.html", doc_a)])
+    # batch 2 triggers compaction of batches 0 and 1 AFTER its own join
+    run_wave("w3.parquet", [("https://h3.example.com/b-copy.html", doc_b),
+                            ("https://h3.example.com/d.html", doc_d)])
+
+    # folded layout: one upto= snapshot, only batch 2 left as a batch dir
+    assert os.listdir(os.path.join(state_dir, "compacted")) == ["upto=1"]
+    assert os.listdir(os.path.join(state_dir, "batches")) == ["batch_id=2"]
+    state = _state(spark, state_dir)
+    assert state.count() == 5  # nothing lost in the fold
+    # the state read actually comes (partly) from the compacted snapshot
+    files = [r[0] for r in
+             state.select(F.input_file_name()).distinct().collect()]
+    assert any("compacted/upto=1" in f for f in files)
+
+    # batch 3 joins against compacted state: dup of doc_a must still
+    # resolve to the wave-1 url that now lives only in the snapshot
+    run_wave("w4.parquet", [("https://h4.example.com/a-again.html", doc_a)])
+    m = spark.read.parquet(matches_dir).toPandas()
+    got = {(r.url, r.first_url) for r in m.itertuples()}
+    assert ("https://h4.example.com/a-again.html",
+            "https://h1.example.com/a.html") in got
+    assert ("https://h3.example.com/b-copy.html",
+            "https://h1.example.com/b.html") in got
+    assert ("https://h2.example.com/a-copy.html",
+            "https://h1.example.com/a.html") in got
+    assert len(got) == 3
+    assert _state(spark, state_dir).count() == 6
