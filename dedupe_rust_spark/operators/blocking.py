@@ -5,25 +5,36 @@ Reference analog: grouping by (ext, width, height) then by cheap hash
 rule to LSH banding over MinHash signatures plus exact-signature keys.
 
 Scale design (100 TB):
-  * Everything downstream of the signature stage is keyed by the 8-byte
-    surrogate `id` (xxhash64(url), operators/signatures.py) — band rows,
-    candidate pairs, and CC rounds shuffle longs, not url strings.
+  * Everything downstream of the signature stage is keyed by 8-byte
+    surrogates: `id = xxhash64(url)` for documents, `block_key =
+    xxhash64(band parts)` for blocks — band rows, candidate pairs, and CC
+    rounds shuffle longs, never url or "band:hash" strings.
   * Exact duplicates are collapsed BEFORE fuzzy blocking: one representative
     per text_sha256 enters LSH. A boilerplate page copied 10^6 times would
     otherwise explode one band bucket into 10^12 candidate pairs; after
     collapse it is ONE row. This mirrors the reference's cascade (cheap
     equality before expensive compare) and is the single biggest pair-count
-    lever.
+    lever. Representatives are a LEAN projection (id, url, host,
+    first_line, bands) — the full text / minhash never ride the
+    representative aggregation; scoring re-attaches them from the
+    signatures table by id.
   * The exact-group operators are HASH AGGREGATIONS (groupBy + min_by +
     join), not windows: a window would shuffle AND SORT every signature row
-    per text_sha256 — one avoidable corpus sort at 100 TB. The agg is
-    map-side combinable and the join back is a plain hash join.
-  * Remaining oversized blocks (distinct texts sharing a band, power-law
-    boilerplate) are capped at max_block_size by deterministic hash salting
-    and the overflow is COUNTED, never silently dropped — callers read
-    `blocks_capped` metrics. Near-dup recall for capped blocks is preserved
-    by the other 31 bands: the salt hash includes the block key, so two
-    bands containing the same pair split it INDEPENDENTLY.
+    per text_sha256 — one avoidable corpus sort at 100 TB.
+  * prune_blocks groups each block's member ids into ONE row (collect_list
+    after the HAVING>1 filter): block sizes, singleton pruning, AND salting
+    of oversized blocks all happen in-row on that grouped form — one
+    shuffle of the band stream total. Round-2 shuffled the band stream
+    three times (size agg, join-back, self-join) and ran a block_key
+    self-join; the grouped form generates each block's id pairs with two
+    nested explodes instead (same pair set, half the generated rows, no
+    join machinery).
+  * Oversized blocks (distinct texts sharing a band, power-law boilerplate)
+    are hash-split to max_block_size sub-arrays in-row and the overflow is
+    COUNTED, never silently dropped — callers read `blocks_capped` metrics.
+    The block key participates in the salt hash, so the same pair is split
+    INDEPENDENTLY across different oversized bands and near-dup recall is
+    preserved by the other 31 bands / title key with high probability.
 """
 
 from __future__ import annotations
@@ -32,19 +43,34 @@ from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_MAX_BLOCK = 512
 
+# columns a representative carries into blocking — everything else
+# (text, minhash, simhash ...) is re-attached from the signatures table
+# by id where needed, so the exact-collapse agg shuffles ~70 B/row
+# instead of the full ~1 KB signature row
+REP_COLS = ("id", "url", "host", "first_line", "bands")
+
+
+def _first_line(text_col):
+    return F.substring_index(text_col, "\n", 1)
+
 
 def exact_representatives(sig: DataFrame) -> DataFrame:
-    """One row per distinct text_sha256 (min url wins — deterministic).
+    """One LEAN row per distinct text_sha256 (min url wins — deterministic):
+    (text_sha256, id, url, host, first_line, bands).
 
     groupBy + min_by(struct, url) is a hash aggregation: no sort, partial
-    agg map-side (each task keeps one candidate row per local sha). The
-    round-2 row_number() window sorted every signature row per key.
-    """
-    cols = sig.columns
+    agg map-side. first_line is computed BEFORE the shuffle so the full
+    text never rides it (title_blocks needs only the first line)."""
+    lean = sig.select(
+        "text_sha256", "id", "url", "host",
+        _first_line(F.col("text")).alias("first_line"), "bands",
+    )
+    cols = [c for c in lean.columns if c != "text_sha256"]
     return (
-        sig.groupBy("text_sha256")
+        lean.groupBy("text_sha256")
         .agg(F.min_by(F.struct(*cols), F.col("url")).alias("_rep"))
-        .select(*[F.col(f"_rep.{c}").alias(c) for c in cols])
+        .select("text_sha256",
+                *[F.col(f"_rep.{c}").alias(c) for c in cols])
     )
 
 
@@ -83,15 +109,16 @@ def exact_edges(sig: DataFrame) -> DataFrame:
 
 
 def lsh_blocks(reps: DataFrame) -> DataFrame:
-    """Explode precomputed LSH band keys -> (block_key, id). block_key is
-    'band_index:band_hash' so different bands never collide. Pure JVM:
-    the band keys were computed inside the signature UDF pass."""
+    """Explode precomputed LSH band keys -> (block_key, id). block_key =
+    xxhash64(band_index, band_hash) — an 8-byte long; hashing the band
+    index in keeps different bands in disjoint key spaces. Pure JVM: the
+    band hashes were computed inside the signature UDF pass."""
     bands = reps.select(
         "id",
         F.posexplode(F.col("bands")).alias("band_id", "band_hash"),
     )
     return bands.select(
-        F.concat_ws(":", F.col("band_id"), F.col("band_hash")).alias("block_key"),
+        F.xxhash64(F.col("band_id"), F.col("band_hash")).alias("block_key"),
         "id",
     )
 
@@ -100,67 +127,66 @@ def title_blocks(reps: DataFrame) -> DataFrame:
     """Exact key on (host, first text line): near-dups overwhelmingly share
     their title, and LSH recall sags near the decision boundary. Analog of
     the reference's secondary exact key (ext within dimension groups,
-    main.rs:376). All built-in expressions — stays in codegen."""
-    first_line = F.substring_index(F.col("text"), "\n", 1)
+    main.rs:376). All built-in expressions — stays in codegen. The literal
+    marker keeps title keys out of the band-key hash space."""
+    first = (F.col("first_line") if "first_line" in reps.columns
+             else _first_line(F.col("text")))
     return reps.select(
-        F.concat_ws(":", F.lit("T"),
-                    F.xxhash64(F.col("host"), first_line).cast("string")
-                    ).alias("block_key"),
+        F.xxhash64(F.lit("title"), F.col("host"), first).alias("block_key"),
         "id",
     )
 
 
 def all_blocks(reps: DataFrame) -> DataFrame:
     """Union of LSH band keys and host+title exact keys (UNION set op,
-    SURVEY.md §2.1); candidate dedup happens after the self-join."""
+    SURVEY.md §2.1); candidate dedup happens after pair generation."""
     return lsh_blocks(reps).unionByName(title_blocks(reps))
 
 
 def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
                  ) -> tuple[DataFrame, DataFrame]:
-    """Drop singleton blocks (HAVING count>1, reference main.rs:418-421) and
-    SALT oversized ones: a block of size m > max_block is split
-    deterministically (by hash of block_key AND id) into ceil(m/max_block)
-    sub-blocks, so no row is dropped but per-block pair count stays
-    O(max_block^2) (statistical bound — hash placement, not rank balancing).
-    The block key participates in the salt hash so the SAME pair lands in
-    DIFFERENT sub-blocks across different oversized bands — a salt keyed on
-    id alone would split every band identically and could separate a pair
-    in all 32 bands at once. Cross-sub-block pairs of a salted block are
-    thus recovered by the other bands / title key with high probability.
-    Returns (salted_blocks, salt_metrics) — every salted block is REPORTED,
-    never silent (SURVEY.md §4.3.1).
+    """(block_key, id) stream -> grouped (block_key, ids array<long>) rows
+    with singleton blocks dropped (HAVING count>1, reference
+    main.rs:418-421) and oversized blocks SALTED: a block of size
+    m > max_block is split deterministically (by hash of block_key AND id)
+    into ceil(m/max_block) sub-rows, so no id is dropped but per-block pair
+    count stays O(max_block^2) (statistical bound — hash placement, not
+    rank balancing). Returns (grouped_blocks, salt_metrics) — every salted
+    block is REPORTED, never silent (SURVEY.md §4.3.1).
 
-    Scale shape: block sizes come from a map-side-combinable groupBy (tiny
-    result, one row per multi-member key) joined back onto the band stream
-    — AQE broadcasts it, so the band rows are never shuffled OR sorted
-    here; the only full shuffle of band rows is the candidate self-join.
-    (Round-1 used two windows — count + row_number — which sorted every
-    band row per key and capped candidate-stage scaling at ~2.6x/4.)"""
-    # blocks is consumed twice (size agg + join) and its lineage carries the
-    # representative agg + band explode; materialize it once (lazy: the
-    # first action computes it, every later consumer reads the cached rows)
-    blocks = blocks.localCheckpoint(eager=False)
-    sizes = (
+    Scale shape: ONE shuffle of the band stream (the map-side-combinable
+    collect_list agg); sizes, the HAVING filter, and the salt split are
+    all in-row expressions on the grouped result. The sub-block split is a
+    higher-order filter per salt — O(n_salts * m) per oversized block,
+    JVM-side.
+    """
+    grouped = (
         blocks.groupBy("block_key")
-        .agg(F.count("*").alias("_sz"))
-        .filter(F.col("_sz") > 1)
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        # three consumers (small/big split + salt metrics) — materialize
+        # the multi-member groups once (lazy; far smaller than the band
+        # stream: singletons are already gone)
+        .localCheckpoint(eager=False)
     )
-    multi = blocks.join(sizes, "block_key")
-    n_salts = F.ceil(F.col("_sz") / F.lit(max_block)).cast("long")
-    salted = multi.select(
-        F.when(
-            F.col("_sz") <= max_block, F.col("block_key")
-        ).otherwise(
-            F.concat_ws("#", F.col("block_key"),
-                        F.pmod(F.xxhash64("block_key", "id"),
-                               n_salts).cast("string"))
-        ).alias("block_key"),
-        "id",
+    small = grouped.filter(F.size("ids") <= max_block).select(
+        "block_key", "ids")
+    big = grouped.filter(F.size("ids") > max_block)
+    n_salts = F.ceil(F.size("ids") / F.lit(max_block)).cast("int")
+    sub = F.transform(
+        F.sequence(F.lit(0), n_salts - 1),
+        lambda s: F.filter(
+            F.col("ids"),
+            lambda x: F.pmod(F.xxhash64(F.col("block_key"), x),
+                             n_salts.cast("long")) == s.cast("long"),
+        ),
     )
-    salt_metrics = sizes.filter(F.col("_sz") > max_block).select(
+    # singleton sub-arrays stay (they generate no pairs but keep the
+    # "salting repartitions members, never discards them" invariant exact)
+    salted = big.select("block_key", F.explode(sub).alias("ids"))
+    salt_metrics = big.select(
         "block_key",
-        F.col("_sz").alias("block_size"),
+        F.size("ids").cast("long").alias("block_size"),
         F.lit(max_block).alias("salt_target"),
     )
-    return salted, salt_metrics
+    return small.unionByName(salted), salt_metrics

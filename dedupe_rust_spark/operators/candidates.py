@@ -26,31 +26,30 @@ SIMHASH_HAMMING_MAX = 24
 SHORT_TEXT_BYPASS = 300
 
 
-def candidate_pairs(blocks: DataFrame, keep_block_key: bool = True
+def candidate_pairs(grouped: DataFrame, keep_block_key: bool = True
                     ) -> DataFrame:
-    """keep_block_key=False drops the key before the pair-dedup shuffle:
-    a near-dup pair is found by up to 32 bands, so the pre-dedup stream is
-    many times the distinct-pair count and every shuffled byte counts. The
-    retained key of a multi-band pair is arbitrary anyway."""
-    # the self-join reads blocks twice; materialize once (lazy) so the
-    # salting join + upstream agg/explode lineage runs a single time
-    blocks = blocks.localCheckpoint(eager=False)
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    joined = (
-        a.join(b, "block_key")
-        .filter(F.col("a.id") < F.col("b.id"))
+    """Grouped blocks (block_key, ids array) -> distinct (id_a, id_b) pairs.
+
+    Pair generation is two nested explodes over each block's id array —
+    exactly m(m-1)/2 generated rows per block, all inside one codegen
+    stage, versus a block_key equi self-join's extra exchange + m^2
+    probed rows. The only shuffle here is the final pair dedup
+    (dropDuplicates), which is irreducible for multi-band LSH: a near-dup
+    pair is found by up to 32 bands, so the pre-dedup stream is many
+    times the distinct-pair count — which is why rows are two longs and
+    keep_block_key=False drops the key before that shuffle (the retained
+    key of a multi-band pair is arbitrary anyway)."""
+    a = grouped.select(
+        "block_key", F.explode("ids").alias("id_a"), "ids"
+    )
+    pairs = a.select(
+        "block_key", "id_a",
+        F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"),
     )
     if keep_block_key:
-        return joined.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            "block_key",
-        ).dropDuplicates(["id_a", "id_b"])
-    return joined.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-    ).dropDuplicates(["id_a", "id_b"])
+        return pairs.select("id_a", "id_b", "block_key").dropDuplicates(
+            ["id_a", "id_b"])
+    return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
 
 def simhash_prefilter(pairs: DataFrame, sig: DataFrame,

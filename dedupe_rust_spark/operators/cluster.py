@@ -34,7 +34,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """
     # materialize the edge list once: the symmetrizing union below consumes
     # it twice, and its lineage may carry the whole scoring UDF chain
+    edges.sparkSession.sparkContext.setJobDescription("cc:edges")
     edges = edges.localCheckpoint()
+    edges.sparkSession.sparkContext.setJobDescription("cc:sym")
+    # sym is the per-round join probe side and the largest CC table (2x
+    # match edges; near-clique clusters make it quadratic in cluster
+    # size). localCheckpoint materializes it once; each round's join then
+    # re-exchanges it by node — measured, that costs LESS than the
+    # alternative of cache()-with-repartition("node"): under AQE the
+    # cached relation's partitioning is not reused by the outer joins, so
+    # every reference re-exchanged the cached data (8 sym-sized exchange
+    # writes per double round vs 2 with the checkpoint).
     sym = (
         edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .union(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
@@ -45,9 +55,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # label0(x) = min(x, min(neighbors)) — one agg instead of a distinct
     # node list + a union + the first propagation join (fewer serial jobs;
     # the CC loop's job count is its local-mode latency floor)
+    edges.sparkSession.sparkContext.setJobDescription("cc:seed")
     labels = sym.groupBy("node").agg(
         F.least(F.col("node"), F.min("nbr")).alias("label")
     ).localCheckpoint()
+    edges.sparkSession.sparkContext.setJobDescription("cc:rounds")
 
     def one_round(lab: DataFrame) -> DataFrame:
         # 1. neighbor-min: candidate label for each node from its neighbors

@@ -116,6 +116,7 @@ class DedupPipeline:
     def _checkpoint(self, df: DataFrame, stage: str) -> DataFrame:
         """Write stage output and read it back (cuts lineage + resumable).
         Without out_dir, fall back to localCheckpoint (tests/bench)."""
+        self.spark.sparkContext.setJobDescription(f"stage:{stage}")
         if not self.cfg.checkpoints and stage == "scores":
             # fast path: scores has exactly one downstream consumer (the
             # edge list) — let it fuse into that job

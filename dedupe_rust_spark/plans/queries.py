@@ -771,7 +771,7 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(urls.withColumnsRenamed({"id": "id_b", "url": "_ub"}), "id_b")
         .select(F.least("_ua", "_ub").alias("url_a"),
                 F.greatest("_ua", "_ub").alias("url_b"),
-                "block_key")
+                F.col("block_key").cast("string").alias("block_key"))
     )
 
 

@@ -51,9 +51,11 @@ SIG_UDF_RESULT = T.StructType(
     ]
 )
 
+# block_key = xxhash64(band_id, band_hash) — blocks, like documents,
+# are keyed by 8-byte longs so the band stream shuffles no strings
 BLOCKS = T.StructType(
     [
-        T.StructField("block_key", T.StringType(), False),
+        T.StructField("block_key", T.LongType(), False),
         T.StructField("id", T.LongType(), False),
     ]
 )
@@ -62,7 +64,7 @@ CANDIDATES = T.StructType(
     [
         T.StructField("id_a", T.LongType(), False),
         T.StructField("id_b", T.LongType(), False),
-        T.StructField("block_key", T.StringType(), False),
+        T.StructField("block_key", T.LongType(), False),
     ]
 )
 

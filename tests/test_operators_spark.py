@@ -181,3 +181,22 @@ class TestTextOps:
         b = textops.fingerprints(df).toPandas()["fingerprint"][0]
         from dedupe_rust_spark.functions.textstats import fingerprint
         assert a == b == fingerprint("y" * 500)
+
+    def test_fingerprint_builtin_matches_python_twin(self, spark):
+        """The all-builtin Spark fingerprint (min md5 over 64-char blocks,
+        step 32) must agree elementwise with textstats.fingerprint across
+        the block-boundary edge cases: empty-ish, < window, == window,
+        window+1, non-multiple-of-step lengths, multi-line real-ish text."""
+        from dedupe_rust_spark.functions.textstats import fingerprint
+
+        texts = [
+            "a", "short text", "x" * 63, "x" * 64, "x" * 65,
+            "x" * 96, "x" * 97, "x" * 128, "x" * 129,
+            ("the quick brown fox jumps over the lazy dog. " * 9)[:401],
+            "line one\nline two\nline three " * 7,
+        ]
+        rows = [(str(i), t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "id string, text string")
+        got = textops.fingerprints(df).toPandas().set_index("id")["fingerprint"]
+        for i, t in enumerate(texts):
+            assert got[str(i)] == fingerprint(t), (i, len(t))

@@ -198,15 +198,15 @@ def test_blocks_salted_not_silent(spark, sig):
     kept, cap_metrics = blocking.prune_blocks(blocks, max_block=2)
     # with a tiny limit, salted blocks MUST be reported
     assert cap_metrics.count() > 0
-    # no rows dropped: salting repartitions members, never discards them
+    # no ids dropped: salting repartitions members, never discards them
     multi_rows = (blocks.groupBy("block_key").count()
                   .filter(F.col("count") > 1)
                   .agg(F.sum("count")).first()[0])
-    assert kept.count() == multi_rows
+    members = kept.agg(F.sum(F.size("ids"))).first()[0]
+    assert members == multi_rows
     # hash salting bounds sub-block size statistically, not exactly; with
     # this seed-fixed corpus the worst sub-block stays near the target
-    sizes = kept.groupBy("block_key").count().agg(F.max("count")).first()[0]
-    assert sizes <= 4 * 2
+    assert kept.agg(F.max(F.size("ids"))).first()[0] <= 4 * 2
 
 
 # ------------------------------------------------------------------ resume
