@@ -4,20 +4,38 @@ The reference never needs CC: hash-equality matching is transitive, so
 groups are clusters (/root/reference/src/main.rs:616-624). Fuzzy matching
 breaks transitivity, hence transitive closure here.
 
-Algorithm: hash-to-min label propagation with pointer jumping —
-each round every node takes min(own label, neighbors' labels), then labels
-chase their own label's label (doubling). Converges in O(log d) rounds for
-diameter d; dedup clusters are near-cliques so 2-4 rounds in practice.
-`localCheckpoint()` per round truncates lineage (SURVEY.md §4.3.2); the
-convergence check is a changed-label count.
+Algorithm: LABEL CONTRACTION (the alternating-star family of MapReduce CC
+algorithms recast as levels of graph contraction). Each level labels every
+node with min(self, neighbors) — a valid partial contraction, since a
+node's label is itself or an adjacent node — then rebuilds the edge set
+BETWEEN LABELS and recurses on the contracted graph. Final labels compose
+the per-level mappings coarse-to-fine.
+
+Why contraction instead of round-2's hash-to-min + pointer jumping: dedup
+components are near-cliques, so the first min-labeling collapses almost
+everything and the level-1 contracted graph is tiny — per-level shuffle
+volume is ~6|E_level| and |E| drops by orders of magnitude after level 0,
+where hash-to-min re-propagated over the FULL symmetrized edge table every
+round (~16|E| total with the confirmation round). At 400k pages the CC
+stage was the largest shuffle producer in the pipeline; contraction
+roughly halves it. Convergence in O(log d) levels for diameter d (paths
+halve per level); the termination check is an isEmpty on the materialized
+contracted edge set, not an extra propagation round.
+
+Correctness invariants (tested against a union-find oracle and under
+repartitioning): (1) same-label nodes are connected (label ∈ {self} ∪
+neighbors); (2) the contracted graph of a connected component is
+connected, so a component never terminates with two labels; (3) the
+component minimum always labels itself, so the terminal label IS the
+minimum member — cluster_id = min member id, deterministically.
 
 The node type is whatever the edge columns carry — the pipeline feeds
-8-byte surrogate ids (longs), so every CC round shuffles longs; url
+8-byte surrogate ids (longs), so every CC level shuffles longs; url
 strings are joined back exactly once, after the loop, in
 propagate_to_members.
 
-No GraphFrames dependency — plain joins + groupBy, shuffle-partitioned on
-the node key throughout so successive rounds reuse the hash partitioning.
+No GraphFrames dependency — plain joins + groupBy;
+`localCheckpoint()` per level truncates lineage (SURVEY.md §4.3.2).
 """
 
 from __future__ import annotations
@@ -32,71 +50,56 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     Only nodes that appear in an edge are returned (singletons are added by
     the caller if desired).
     """
-    # materialize the edge list once: the symmetrizing union below consumes
-    # it twice, and its lineage may carry the whole scoring UDF chain
-    edges.sparkSession.sparkContext.setJobDescription("cc:edges")
-    edges = edges.localCheckpoint()
-    edges.sparkSession.sparkContext.setJobDescription("cc:sym")
-    # sym is the per-round join probe side and the largest CC table (2x
-    # match edges; near-clique clusters make it quadratic in cluster
-    # size). localCheckpoint materializes it once; each round's join then
-    # re-exchanges it by node — measured, that costs LESS than the
-    # alternative of cache()-with-repartition("node"): under AQE the
-    # cached relation's partitioning is not reused by the outer joins, so
-    # every reference re-exchanged the cached data (8 sym-sized exchange
-    # writes per double round vs 2 with the checkpoint).
-    sym = (
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-        .union(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
-        .distinct()
+    sc = edges.sparkSession.sparkContext
+    # materialize the edge list once: its lineage may carry the whole
+    # scoring UDF chain, and each level consumes it three times
+    sc.setJobDescription("cc:edges")
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
         .localCheckpoint()
     )
-    # seed labels with the first neighbor-min half-round fused in:
-    # label0(x) = min(x, min(neighbors)) — one agg instead of a distinct
-    # node list + a union + the first propagation join (fewer serial jobs;
-    # the CC loop's job count is its local-mode latency floor)
-    edges.sparkSession.sparkContext.setJobDescription("cc:seed")
-    labels = sym.groupBy("node").agg(
-        F.least(F.col("node"), F.min("nbr")).alias("label")
-    ).localCheckpoint()
-    edges.sparkSession.sparkContext.setJobDescription("cc:rounds")
-
-    def one_round(lab: DataFrame) -> DataFrame:
-        # 1. neighbor-min: candidate label for each node from its neighbors
-        nbr_labels = (
-            sym.join(lab, on="node")
-            .select(F.col("nbr").alias("node"), "label")
+    mappings: list[DataFrame] = []
+    for level in range(max_iter):
+        sc.setJobDescription(f"cc:level{level}")
+        sym = cur.select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr")
+        ).union(cur.select(
+            F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        # min(self, neighbors): the level's contraction mapping. No
+        # distinct on sym — duplicate (node, nbr) rows cannot change a min.
+        lab = sym.groupBy("node").agg(
+            F.least(F.col("node"), F.min("nbr")).alias("label")
+        ).localCheckpoint()
+        mappings.append(lab)
+        nxt = (
+            cur.join(lab.withColumnsRenamed(
+                {"node": "src", "label": "_ls"}), "src")
+            .join(lab.withColumnsRenamed(
+                {"node": "dst", "label": "_ld"}), "dst")
+            .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
         )
-        new_labels = (
-            lab.unionByName(nbr_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # 2. pointer jumping: label <- label(label) when it exists
-        lab2 = new_labels.select(
-            F.col("node").alias("label"), F.col("label").alias("label2")
-        )
-        return (
-            new_labels.join(lab2, on="label", how="left")
-            .select("node", F.coalesce("label2", "label").alias("label"))
-        )
-
-    # Two propagation rounds per materialization: the plan for both rounds
-    # compiles into one job at the checkpoint, halving per-round scheduling
-    # latency; convergence is checked on the materialized result.
-    for _ in range(max_iter // 2):
-        jumped = one_round(one_round(labels)).localCheckpoint()
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        if nxt.isEmpty():
             break
-
-    return labels.select("node", F.col("label").alias("cluster_id"))
+        cur = nxt
+    # compose coarse-to-fine: final(node) = m_k(... m_1(node)). Labels
+    # absent from the coarser map (their component already terminal) pass
+    # through via the left join + coalesce.
+    sc.setJobDescription("cc:compose")
+    final = mappings[-1]
+    for lab in reversed(mappings[:-1]):
+        coarse = final.select(F.col("node").alias("label"),
+                              F.col("label").alias("_l2"))
+        final = (
+            lab.join(coarse, "label", "left")
+            .select("node", F.coalesce("_l2", "label").alias("label"))
+            .localCheckpoint()
+        )
+    sc.setJobDescription(None)
+    return final.select("node", F.col("label").alias("cluster_id"))
 
 
 def propagate_to_members(rep_labels: DataFrame, ex_map: DataFrame,
