@@ -135,6 +135,67 @@ def test_adversarial_same_title_not_clustered(spark, tiny_pages_dir, clusters):
     assert joined.count() <= max(1, int(0.01 * adv.count()))
 
 
+def test_score_split_nondefault_threshold_refines_at_boundary(spark):
+    """The refine band derives from the configured jaccard threshold: with
+    jaccard_match=0.25, an estimate just above 0.25 must be EXACTLY
+    refined (estimate can't decide a match at the threshold). Pair: two
+    texts with exact 3-shingle Jaccard well below 0.25 but enough MinHash
+    row agreement that a noisy estimate could sit near it — we assert the
+    emitted jaccard equals the exact shingle value whenever the estimate
+    fell inside the derived band, and that the decision matches the
+    ground-truth rule."""
+    from dedupe_rust_spark.functions import scorecore
+    from dedupe_rust_spark.functions.udfs import refine_bounds
+    from dedupe_rust_spark.operators.signatures import signatures as sig_stage
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    tb = "alpha beta gamma delta nine ten eleven twelve " * 4
+    rows = [("https://x/a", None, ta.encode(), ta, "en"),
+            ("https://x/b", None, tb.encode(), tb, "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string").withColumn(
+        "host", F.lit("x"))
+    s = sig_stage(pages)
+    ids = {r.url: r.id for r in s.select("url", "id").collect()}
+    pairs = spark.createDataFrame(
+        [(min(ids.values()), max(ids.values()))], "id_a long, id_b long")
+    jm = 0.25
+    got = scoring.score_candidates(pairs, s, jaccard_match=jm).collect()[0]
+    lo, hi = refine_bounds(jm)
+    exact = scorecore.jaccard_shingles(ta, tb)
+    if got.is_match and got.lev_sim is None:
+        # fast path fired: the estimate must have been >= the fast cut
+        assert got.jaccard >= max(hi, jm)
+    else:
+        # slow path: inside the band the estimate must have been replaced
+        # by the exact value
+        if lo <= got.jaccard <= hi:
+            assert abs(got.jaccard - exact) < 1e-9
+        expect = (scorecore.lev_sim(ta, tb) >= scoring.LEV_MATCH
+                  or got.jaccard >= jm)
+        assert bool(got.is_match) == expect
+
+
+def test_score_null_estimate_pairs_not_dropped(spark):
+    """A pair where one side has no MinHash signature (null estimate) must
+    flow through the slow path and keep a scored row — not vanish from the
+    output (round-2 advice finding)."""
+    ta = "some words repeated here " * 10
+    sig_rows = [
+        (1, "https://x/a", ta, [1] * 128),
+        (2, "https://x/b", ta, None),  # no signature
+    ]
+    s = spark.createDataFrame(
+        sig_rows, "id long, url string, text string, minhash array<smallint>")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = scoring.score_candidates(pairs, s).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.is_match  # identical texts: lev_sim = 1.0 decides
+    assert r.lev_sim == 1.0
+
+
 def test_score_split_decisions_match_exact(spark, sig):
     """The estimate-split scorer's is_match must equal the ground-truth
     decision rule (exact lev/jaccard) on real candidate pairs — the fast
