@@ -901,6 +901,50 @@ def q_lsh_emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, threshold=0.35)
 
 
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for the connected-components operator itself: cluster
+    the embedding near-duplicate graph (bucketed SRP-LSH pairs at
+    cosine >= 0.35 — the pair set is equality-oracled by lsh_emb_dups)
+    with the SAME label-contraction CC the dedup pipeline uses, and
+    check the full (vec_id, cluster_id) labeling against DuckDB's
+    transitive closure computed by a recursive CTE. cluster_id = min
+    member, so the comparison is tie-proof and value-exact. This is the
+    cross-engine twin the text pipeline's CC can't have (its edges come
+    from non-SQL scoring); the edge set HERE is SQL-derivable, so the
+    iterative operator gets a direct value check."""
+    from ..operators.ann import lsh_cosine_pairs
+    from ..operators.cluster import connected_components
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = lsh_cosine_pairs(emb, threshold=0.35)
+    edges = pairs.select(F.col("vec_id_a").alias("src"),
+                         F.col("vec_id_b").alias("dst"))
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+SQL_EMB_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({SQL_EMB_DUPS}),
+    sym AS (
+      SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+      UNION
+      SELECT vec_id_b AS a, vec_id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      WHERE s.b <> r.a
+    )
+    SELECT CAST(a AS BIGINT) AS vec_id,
+           CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a
+"""
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN top-k (SRP multi-table OR-amplification) for 10 probes
     — the scale path of q_ann_cosine_topk (rows-only: ranking ties under
@@ -1074,6 +1118,7 @@ def catalog():
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "emb_cosine_dups": q_emb_cosine_dups,
         "lsh_emb_dups": q_lsh_emb_dups,
+        "emb_dup_clusters": q_emb_dup_clusters,
         "quality_filter": q_quality_filter,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
@@ -1099,6 +1144,7 @@ def catalog():
         "order_customer_join": SQL_ORDER_CUST,
         "emb_cosine_dups": SQL_EMB_DUPS,
         "lsh_emb_dups": SQL_EMB_DUPS,
+        "emb_dup_clusters": SQL_EMB_CLUSTERS,
         "inv_exact_containment": SQL_INV_EXACT,
         "inv_lsh_recall": SQL_INV_LSH,
         "inv_simhash_consistent": SQL_INV_EXACT,
