@@ -175,6 +175,111 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
     )
 
 
+def _sq_dist(vec_col, center: list[float]):
+    """Squared L2 distance row-expression to a literal centroid (JVM)."""
+    return F.aggregate(
+        F.zip_with(F.col(vec_col),
+                   F.array(*[F.lit(float(c)) for c in center]),
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def ivf_train(corpus: DataFrame, n_cells: int = 16, iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = 64) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer (Lloyd iterations, all
+    DataFrame ops): init = the vectors of the n_cells smallest ids
+    (data-dependent, seedless, reproducible); each iteration assigns rows
+    to their nearest centroid via literal-centroid distance expressions
+    (codegen, no UDF) and recomputes per-dimension means with one
+    groupBy. Centroids are k x dim floats — driver-resident by design
+    (the coarse codebook of an IVF index is broadcast state, like a
+    dimension table).
+
+    Scale shape: each iteration is one corpus scan + one n_cells-group
+    aggregation; no shuffle grows with corpus size beyond the tiny
+    (cell, partial-sums) stream.
+    """
+    import numpy as np
+
+    seeds = (corpus.select(id_col, vec_col).orderBy(id_col)
+             .limit(n_cells).collect())
+    centroids = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(iters):
+        dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+        assigned = corpus.select(
+            vec_col,
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+              for i in range(dim)],
+        ).collect()
+        new = list(centroids)
+        for r in sums:
+            if r["n"] > 0:
+                new[int(r["cell"])] = [r[f"s{i}"] / r["n"]
+                                       for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the nearest-centroid cell id (0-based) — the IVF inverted
+    list key. Pure codegen expression over literal centroids."""
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    return df.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1))
+
+
+def ivf_cosine_topk(corpus: DataFrame, probes: DataFrame,
+                    centroids: list[list[float]], k: int = 10,
+                    n_probe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF search: each probe scans only its n_probe nearest cells —
+    the equi-join on cell replaces the cross join, so work scales with
+    the probed fraction of the corpus (n_probe / n_cells), the classic
+    IVF recall/cost dial. n_probe = n_cells degenerates to exact brute
+    force (partition-completeness — the basis of the inv_ivf_recall
+    oracle). Top-k per probe via window with deterministic tie-break.
+    """
+    n_cells = len(centroids)
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    ranked = F.slice(
+        F.array_sort(F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))),
+        1, min(n_probe, n_cells),
+    )
+    pc = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+        F.explode(ranked).alias("r"),
+    ).select("probe_id", "pv", F.col("r.cell").alias("cell"))
+    cc = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")), centroids, "cv")
+    scored = (
+        cc.join(F.broadcast(pc), "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("pv"), F.col("cv"))
+                    / (_norm(F.col("pv")) * _norm(F.col("cv"))), 6),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     bits: int = 4, n_tables: int = 8, dim: int = 64

@@ -1056,6 +1056,70 @@ SQL_BPE = f"""
 """
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int = 16):
+    from ..operators.ann import ivf_train
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb, ivf_train(emb, n_cells=n_cells, iters=3)
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN operating point: k-means coarse quantizer (16 cells, 3
+    Lloyd iterations, deterministic init), probes scan their 4 nearest
+    cells only (rows-only: float-tie ranking; recall pytest-asserted and
+    the exhaustive-probe twin inv_ivf_recall is value-oracled)."""
+    from ..operators.ann import ivf_cosine_topk
+
+    emb, cents = _ivf_centroids(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, probes, cents, k=5, n_probe=4)
+
+
+def q_inv_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for IVF partition completeness: with n_probe = n_cells
+    every cell is scanned, so IVF top-k must be rank-equivalent to brute
+    force — per probe, all k picks have cosine >= the brute-force k-th
+    cosine (tie-proof, same shape as inv_ann_recall; the DuckDB twin
+    recomputes the k-th cosine from first principles). A bug anywhere in
+    cell assignment / probe-cell ranking / the cell join (a dropped or
+    double-counted cell) breaks the equality."""
+    from pyspark.sql import Window
+
+    from ..operators.ann import _dot, _norm, ivf_cosine_topk
+
+    k = 5
+    emb, cents = _ivf_centroids(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    picks = ivf_cosine_topk(emb, probes, cents, k=k,
+                            n_probe=len(cents)).select(
+        "probe_id", "neighbor_id")
+
+    pv = probes.select(F.col("vec_id").alias("probe_id"),
+                       F.col("embedding").alias("pv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cv"))
+    cos4 = F.round(_dot(F.col("pv"), F.col("cv"))
+                   / (_norm(F.col("pv")) * _norm(F.col("cv"))), 4)
+    scored = (cv.join(F.broadcast(pv),
+                      F.col("probe_id") != F.col("neighbor_id"))
+              .withColumn("cosine", cos4))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    kth = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == k)
+           .select("probe_id", F.col("cosine").alias("kth_cosine")))
+    pick_cos = (picks.join(cv, "neighbor_id").join(F.broadcast(pv), "probe_id")
+                .withColumn("cosine", cos4))
+    return (
+        pick_cos.join(kth, "probe_id")
+        .groupBy("probe_id", "kth_cosine")
+        .agg(F.sum(F.when(F.col("cosine") >= F.col("kth_cosine"), 1)
+                   .otherwise(0)).alias("n_in_topk"))
+        .select("probe_id", F.lit(k).cast("long").alias("k"),
+                "kth_cosine", F.col("n_in_topk").cast("long"))
+    )
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 per distinct text (rows-only; pinned by unit vectors)."""
     from ..functions.udfs import signatures_udf
@@ -1116,6 +1180,8 @@ def catalog():
         "bpe_token_counts": q_bpe_token_counts,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "inv_ivf_recall": q_inv_ivf_recall,
         "emb_cosine_dups": q_emb_cosine_dups,
         "lsh_emb_dups": q_lsh_emb_dups,
         "emb_dup_clusters": q_emb_dup_clusters,
@@ -1151,6 +1217,7 @@ def catalog():
         "inv_fingerprint_consistent": SQL_INV_EXACT,
         "inv_langid_consistent": SQL_INV_EXACT,
         "inv_ann_recall": SQL_INV_ANN,
+        "inv_ivf_recall": SQL_INV_ANN,
         "bpe_token_counts": SQL_BPE,
         "langid": SQL_LANGID,
         "fingerprints": SQL_FPRINT,

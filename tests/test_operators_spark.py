@@ -44,6 +44,32 @@ class TestANN:
         # 8 tables x 4-bit SRP: candidate prob ~0.75 for near neighbors
         assert recall >= 0.5, recall
 
+    def test_ivf_exhaustive_probe_equals_bruteforce(self, spark, emb):
+        """n_probe = n_cells scans every inverted list — IVF must return
+        the exact brute-force top-k (partition completeness)."""
+        cents = ann.ivf_train(emb, n_cells=8, iters=2)
+        probes = emb.filter(F.col("vec_id") < 5)
+        exact = ann.cosine_topk(emb, probes, k=5)
+        full = ann.ivf_cosine_topk(emb, probes, cents, k=5, n_probe=8)
+        e = [(r.probe_id, r.neighbor_id, r.cosine, r.rank)
+             for r in exact.orderBy("probe_id", "rank").collect()]
+        f = [(r.probe_id, r.neighbor_id, r.cosine, r.rank)
+             for r in full.orderBy("probe_id", "rank").collect()]
+        assert e == f
+
+    def test_ivf_partial_probe_recall(self, spark, emb):
+        """The 4-of-16-cells operating point keeps useful recall: probed
+        cells are the probe's own neighborhoods under the k-means
+        quantizer (deterministic corpus + deterministic init => pinned)."""
+        cents = ann.ivf_train(emb, n_cells=16, iters=3)
+        probes = emb.filter(F.col("vec_id") < 10)
+        exact = ann.cosine_topk(emb, probes, k=5)
+        approx = ann.ivf_cosine_topk(emb, probes, cents, k=5, n_probe=4)
+        e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, recall
+
     def test_srp_bucket_deterministic(self, spark, emb):
         b1 = ann.srp_bucket(emb, bits=8).select("vec_id", "bucket").toPandas()
         b2 = ann.srp_bucket(emb, bits=8).select("vec_id", "bucket").toPandas()
