@@ -36,7 +36,10 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 @pandas_udf(SIG_UDF_RESULT)
 def signatures_udf(text: pd.Series) -> pd.DataFrame:
-    """text -> (simhash, 32 LSH band bucket keys, low-32 MinHash values).
+    """text -> (simhash, 32 LSH band bucket keys, 16-BIT truncated MinHash
+    values — the uint16 cast below; truncation inflates the Jaccard
+    estimate by ~(1-j)/65536, negligible, and halves pair-join bytes
+    (schemas.py SIG_UDF_RESULT documents the same).
     One vectorized numpy pass over the whole Arrow batch
     (sigcore.signatures_batch): shingle hashes computed once per doc and
     shared by MinHash + SimHash, segment-reduced minhash, batch band mix.

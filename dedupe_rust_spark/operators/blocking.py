@@ -18,9 +18,17 @@ Scale design (100 TB):
     first_line, bands) — the full text / minhash never ride the
     representative aggregation; scoring re-attaches them from the
     signatures table by id.
-  * The exact-group operators are HASH AGGREGATIONS (groupBy + min_by +
-    join), not windows: a window would shuffle AND SORT every signature row
-    per text_sha256 — one avoidable corpus sort at 100 TB.
+  * The exact-group operators are TRUE hash aggregations: the group root
+    is selected by `min(id)` — an 8-byte long aggregation buffer, which
+    HashAggregateExec can hold, so the plan shows HashAggregate and no
+    Sort (docs/PLANS.md "Exact collapse"). Round-3 used min_by(..., url);
+    var-length (string/struct) buffers silently fall back to
+    SortAggregate + a per-partition corpus Sort — the avoidable corpus
+    sort at 100 TB. The representative row is recovered by a long-keyed
+    hash join on id = root_id; the min-URL output contract survives
+    unchanged because cluster ids are rewritten to min(url) exactly once,
+    in cluster.propagate_to_members. Determinism is preserved:
+    id = xxhash64(url) is a fixed function of url.
   * prune_blocks groups each block's member ids into ONE row (collect_list
     after the HAVING>1 filter): block sizes, singleton pruning, AND salting
     of oversized blocks all happen in-row on that grouped form — one
@@ -54,36 +62,48 @@ def _first_line(text_col):
     return F.substring_index(text_col, "\n", 1)
 
 
-def exact_representatives(sig: DataFrame) -> DataFrame:
-    """One LEAN row per distinct text_sha256 (min url wins — deterministic):
+def exact_roots(sig: DataFrame) -> DataFrame:
+    """(text_sha256, root_id) — root_id = min(id) of each identical-text
+    group. min over an 8-byte long buffer => a TRUE HashAggregate with
+    map-side partial agg and NO sort (min_by/min(url) carry var-length
+    buffers that force a SortAggregate fallback — the round-3 corpus sort).
+    Deterministic: id = xxhash64(url), so min(id) is a fixed function of
+    the group's url set. Shared by exact_group_map and
+    exact_representatives — callers that need both should materialize this
+    once (lazy localCheckpoint) so the corpus aggregates once."""
+    return sig.groupBy("text_sha256").agg(F.min("id").alias("root_id"))
+
+
+def exact_representatives(sig: DataFrame,
+                          roots: DataFrame | None = None) -> DataFrame:
+    """One LEAN row per distinct text_sha256 — the min-id member:
     (text_sha256, id, url, host, first_line, bands).
 
-    groupBy + min_by(struct, url) is a hash aggregation: no sort, partial
-    agg map-side. first_line is computed BEFORE the shuffle so the full
-    text never rides it (title_blocks needs only the first line)."""
+    Plan shape: HashAggregate(min(id)) + a long-keyed hash join that
+    recovers the representative's row (id = root_id) — no corpus sort.
+    first_line is computed BEFORE any shuffle so the full text never rides
+    one (title_blocks needs only the first line)."""
     lean = sig.select(
         "text_sha256", "id", "url", "host",
         _first_line(F.col("text")).alias("first_line"), "bands",
     )
-    cols = [c for c in lean.columns if c != "text_sha256"]
-    return (
-        lean.groupBy("text_sha256")
-        .agg(F.min_by(F.struct(*cols), F.col("url")).alias("_rep"))
-        .select("text_sha256",
-                *[F.col(f"_rep.{c}").alias(c) for c in cols])
+    if roots is None:
+        roots = exact_roots(sig)
+    return lean.join(
+        roots.select(F.col("root_id").alias("id")), "id"
     )
 
 
-def exact_group_map(sig: DataFrame) -> DataFrame:
-    """(id, root_id) where root_id = id of the min-url member of the
-    identical-text group (root_id == id for unique texts). The root is also
-    the representative that entered fuzzy blocking, so fuzzy cluster labels
-    propagate to all exact copies with ONE join — exact-dup stars never
-    enter the CC loop (a boilerplate page with 10^6 copies would otherwise
-    drag a 10^6-arm star through every iteration)."""
-    roots = sig.groupBy("text_sha256").agg(
-        F.min_by("id", "url").alias("root_id")
-    )
+def exact_group_map(sig: DataFrame,
+                    roots: DataFrame | None = None) -> DataFrame:
+    """(id, root_id) where root_id = min(id) of the identical-text group
+    (root_id == id for unique texts). The root is also the representative
+    that entered fuzzy blocking, so fuzzy cluster labels propagate to all
+    exact copies with ONE join — exact-dup stars never enter the CC loop
+    (a boilerplate page with 10^6 copies would otherwise drag a 10^6-arm
+    star through every iteration)."""
+    if roots is None:
+        roots = exact_roots(sig)
     return (
         sig.select("id", "text_sha256")
         .join(roots, "text_sha256")

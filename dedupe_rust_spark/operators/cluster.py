@@ -110,8 +110,9 @@ def propagate_to_members(rep_labels: DataFrame, ex_map: DataFrame,
     rep_labels: (node=id, cluster_id=id-label) from connected_components
     over representative ids.
     ex_map: (id, root_id) from blocking.exact_group_map — root_id is the
-    exact-group min-url member's id AND the representative that entered
-    fuzzy blocking.
+    exact-group min-id member AND the representative that entered fuzzy
+    blocking (min(id) keeps the roots agg a true HashAggregate; the
+    min-URL output contract is applied below, not at root selection).
     id_urls: (id, url) projection of the signatures table.
 
     Label id per url = CC label of its root if the root was fuzzy-matched,

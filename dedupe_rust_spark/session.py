@@ -38,6 +38,12 @@ def get_spark(
         # REST API (the auditable metric behind BENCH/BASELINE.md).
         .config("spark.ui.enabled",
                 "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
+        # bench sums shuffle bytes over COMPLETED stages via the REST API;
+        # the default retainedStages=1000 silently evicts early stages
+        # across multi-lap runs and the cumulative totals shrink. Retain
+        # enough for a full bench session (stage metadata is tiny).
+        .config("spark.ui.retainedStages", "20000")
+        .config("spark.ui.retainedJobs", "20000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # Local-mode shuffle goes through spark.local.dir; on this sandbox the

@@ -56,6 +56,10 @@ DEFAULT_COMPACT_EVERY = 8
 
 
 def _batch_ids(state_dir: str) -> list[int]:
+    # Directory listing is driver-side os.listdir: correct on POSIX /
+    # HDFS-like mounts (this sandbox, NFS, fuse mounts). On an object store
+    # (s3a/gs) swap these two helpers for a Hadoop FileSystem.listStatus
+    # call (same contract); os.listdir has no meaning there.
     bdir = os.path.join(state_dir, "batches")
     if not os.path.isdir(bdir):
         return []
@@ -111,6 +115,12 @@ def _compact(spark: SparkSession, state_dir: str, current_batch: int) -> None:
     if not bids:
         return
     folded = _state(spark, state_dir, before_batch=current_batch)
+    # self-heal: if a previous fold crashed after writing its snapshot but
+    # before deleting the folded batch dirs, the next fold reads both —
+    # dedup by url so duplicate state rows never bake into snapshots
+    # permanently (matches stay correct either way via the min(url) agg;
+    # this bounds STATE SIZE, not correctness)
+    folded = folded.dropDuplicates(["url"])
     upto = current_batch - 1
     target = os.path.join(state_dir, "compacted", f"upto={upto}")
     folded.write.partitionBy("sha_prefix").mode("overwrite").parquet(target)
