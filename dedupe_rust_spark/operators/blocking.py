@@ -163,8 +163,76 @@ def all_blocks(reps: DataFrame) -> DataFrame:
     return lsh_blocks(reps).unionByName(title_blocks(reps))
 
 
-def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
-                 ) -> tuple[DataFrame, DataFrame]:
+DEFAULT_HOT_BOUND = 1 << 16  # pre-salt keys above ~64k members (≈512 KB/row)
+HOT_SAMPLE_MOD = 128         # deterministic 1/128 member sample for detection
+
+
+def _presalt_hot_keys(blocks: DataFrame, max_block: int, hot_bound: int
+                      ) -> tuple[DataFrame, DataFrame | None]:
+    """Guard the grouping aggregation against pathological hot keys: the
+    collect_list in prune_blocks holds one block per row, so a key with
+    10^7+ members (e.g. many distinct short texts sharing identical band
+    hashes) would build a multi-hundred-MB aggregation buffer/row.
+
+    Detection is a deterministic 1/128 member sample (pmod(xxhash64(id)))
+    — one cheap scan of the band stream (callers materialize `reps` so
+    the scan is explode-only) feeding a map-side-combined count agg whose
+    shuffle is ~the sampled row count, NOT the full stream. Keys whose
+    estimated size exceeds hot_bound/2 are pre-salted ROW-LEVEL, before
+    any grouping, into ~max_block-sized sub-keys with the same
+    decorrelated hash (block_key participates, so different hot bands
+    split the same pair independently — identical semantics to the
+    in-row salting, applied one stage earlier). Binomial tails at the
+    defaults: a key at hot_bound has P(miss) < 1e-30; a key under
+    hot_bound/4 has P(false flag) < 1e-20 — and a false flag only splits
+    a key that the in-row salter would split anyway or costs bounded
+    recall on one block, counted in metrics either way.
+
+    Returns (possibly rewritten blocks, hot-key metrics rows or None).
+    Hot keys are collected to the driver: each is ≥ hot_bound members, so
+    at most |stream|/hot_bound keys exist (~thousands at 100 TB) — bounded
+    driver state, like an AQE skew-join's per-partition stats."""
+    sampled = (
+        blocks.filter(F.pmod(F.xxhash64("id"), F.lit(HOT_SAMPLE_MOD)) == 0)
+        .groupBy("block_key").count()
+        .filter(F.col("count") * HOT_SAMPLE_MOD >= hot_bound / 2)
+        .collect()
+    )
+    if not sampled:
+        return blocks, None
+    spark = blocks.sparkSession
+    hot = spark.createDataFrame(
+        [(int(r["block_key"]),
+          int(-(-r["count"] * HOT_SAMPLE_MOD // max_block)),
+          int(r["count"] * HOT_SAMPLE_MOD)) for r in sampled],
+        "block_key long, _nsalt int, _est long",
+    )
+    rewritten = (
+        blocks.join(F.broadcast(hot.select("block_key", "_nsalt")),
+                    "block_key", "left")
+        .select(
+            F.when(
+                F.col("_nsalt").isNull(), F.col("block_key")
+            ).otherwise(
+                F.xxhash64(
+                    F.col("block_key"),
+                    F.pmod(F.xxhash64(F.col("block_key"), F.col("id")),
+                           F.col("_nsalt").cast("long")),
+                )
+            ).alias("block_key"),
+            "id",
+        )
+    )
+    metrics = hot.select(
+        "block_key",
+        F.col("_est").alias("block_size"),
+        F.lit(max_block).alias("salt_target"),
+    )
+    return rewritten, metrics
+
+
+def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK,
+                 hot_bound: int | None = None) -> tuple[DataFrame, DataFrame]:
     """(block_key, id) stream -> grouped (block_key, ids array<long>) rows
     with singleton blocks dropped (HAVING count>1, reference
     main.rs:418-421) and oversized blocks SALTED: a block of size
@@ -179,7 +247,16 @@ def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
     all in-row expressions on the grouped result. The sub-block split is a
     higher-order filter per salt — O(n_salts * m) per oversized block,
     JVM-side.
+
+    hot_bound (optional): pre-salt keys with more than ~hot_bound members
+    ROW-LEVEL before the grouping, so no aggregation row ever holds more
+    than ~hot_bound ids (see _presalt_hot_keys — the 100 TB OOM guard;
+    costs one cheap sampled scan of the band stream). The pipeline enables
+    it; small exploratory callers default to off.
     """
+    hot_metrics = None
+    if hot_bound is not None:
+        blocks, hot_metrics = _presalt_hot_keys(blocks, max_block, hot_bound)
     grouped = (
         blocks.groupBy("block_key")
         .agg(F.collect_list("id").alias("ids"))
@@ -209,4 +286,6 @@ def prune_blocks(blocks: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
         F.size("ids").cast("long").alias("block_size"),
         F.lit(max_block).alias("salt_target"),
     )
+    if hot_metrics is not None:
+        salt_metrics = salt_metrics.unionByName(hot_metrics)
     return small.unionByName(salted), salt_metrics

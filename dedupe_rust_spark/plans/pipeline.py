@@ -32,6 +32,10 @@ class PipelineConfig:
     lev_match: float = scoring.LEV_MATCH
     jaccard_match: float = scoring.JACCARD_MATCH
     max_block: int = blocking.DEFAULT_MAX_BLOCK
+    # row-level pre-salt guard for pathological hot band keys (bounds the
+    # largest grouping-aggregation row; see blocking._presalt_hot_keys).
+    # None disables detection (and its extra sampled scan of the stream).
+    hot_block_bound: int | None = blocking.DEFAULT_HOT_BOUND
     simhash_prefilter: bool = True
     max_hamming: int = cand.SIMHASH_HAMMING_MAX
     use_golden_text: bool = False
@@ -75,8 +79,12 @@ def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None
     roots = blocking.exact_roots(sig).localCheckpoint(eager=False)
     ex_map = blocking.exact_group_map(sig, roots)
     reps = blocking.exact_representatives(sig, roots)
+    if cfg.hot_block_bound is not None:
+        # hot-key detection scans the band stream twice (sample + group):
+        # materialize the reps join once so the second pass is explode-only
+        reps = reps.localCheckpoint(eager=False)
     pruned, _ = blocking.prune_blocks(blocking.all_blocks(reps),
-                                      cfg.max_block)
+                                      cfg.max_block, cfg.hot_block_bound)
     pairs = cand.candidate_pairs(pruned, keep_block_key=False)
     if cfg.simhash_prefilter:
         pairs = cand.simhash_prefilter(pairs, sig, cfg.max_hamming)
@@ -113,6 +121,7 @@ class DedupPipeline:
                 "algo": ALGO_VERSION,
                 "lev": c.lev_match, "jacc": c.jaccard_match,
                 "max_block": c.max_block,
+                "hot_bound": c.hot_block_bound,
                 "prefilter": c.simhash_prefilter, "hamming": c.max_hamming,
                 "golden": c.use_golden_text,
                 "exclude": sorted(c.exclude_hosts),
@@ -209,8 +218,11 @@ class DedupPipeline:
         roots = blocking.exact_roots(sig).localCheckpoint(eager=False)
         ex_map = blocking.exact_group_map(sig, roots)
         reps = blocking.exact_representatives(sig, roots)
+        if self.cfg.hot_block_bound is not None:
+            reps = reps.localCheckpoint(eager=False)
         blocks = blocking.all_blocks(reps)
-        pruned, cap_metrics = blocking.prune_blocks(blocks, self.cfg.max_block)
+        pruned, cap_metrics = blocking.prune_blocks(
+            blocks, self.cfg.max_block, self.cfg.hot_block_bound)
         if self.cfg.checkpoints:
             t0 = time.monotonic()
             n_salted = cap_metrics.count()

@@ -253,6 +253,32 @@ def test_prune_unsalted_pairs_unchanged(spark, sig):
     assert got == expect
 
 
+def test_hot_key_presalt_bounds_rows_and_conserves_members(spark):
+    """The hot-key guard must (a) split a pathological hot key row-level so
+    no grouped row holds the whole block, (b) never drop a member, and
+    (c) report the hot key in salt metrics. Cold keys pass through
+    untouched (identical grouped output)."""
+    hot_n, max_block, hot_bound = 20_000, 64, 2_048
+    rows = ([(777, i) for i in range(hot_n)]          # one pathological key
+            + [(10, 1), (10, 2), (10, 3), (11, 5), (11, 6)])  # cold keys
+    blocks = spark.createDataFrame(rows, "block_key long, id long")
+    kept, metrics = blocking.prune_blocks(blocks, max_block=max_block,
+                                          hot_bound=hot_bound)
+    got = kept.select("ids").collect()
+    # (a): the largest grouped row is ~max_block, far below the hot key's
+    # 20k members (hash placement is statistical, hence the 4x slack)
+    assert max(len(r["ids"]) for r in got) <= 4 * max_block
+    # (b): exact member conservation — 20,000 hot + 5 cold. (Sub-blocks
+    # average ~max_block members, so the HAVING>1 singleton filter cannot
+    # realistically drop any; deterministic hashing makes this stable.)
+    assert sum(len(r["ids"]) for r in got) == hot_n + 5
+    # (c): the hot key is REPORTED in salt metrics with its estimated size
+    assert any(r["block_size"] >= hot_bound for r in metrics.collect())
+    # cold keys untouched: both cold blocks present with full member sets
+    cold = {tuple(sorted(r["ids"])) for r in got if len(r["ids"]) <= 3}
+    assert (1, 2, 3) in cold and (5, 6) in cold
+
+
 def test_blocks_salted_not_silent(spark, sig):
     reps = blocking.exact_representatives(sig)
     blocks = blocking.all_blocks(reps)
