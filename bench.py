@@ -99,17 +99,21 @@ def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
     # over ~2 laps). The timed lap measures steady-state throughput on a
     # fresh pipeline object (no resume: out_dir=None never skips stages).
     DedupPipeline(spark, pages_dir, config=fast).run()
-    # JIT decay is slow in a fresh JVM: take the best of 3 timed laps as
-    # the steady-state figure (standard JVM-bench practice).
+    # JIT decay is slow in a fresh JVM: take the best of N timed laps as
+    # the steady-state figure (standard JVM-bench practice). Gate runs use
+    # SPARK_GRAFT_BENCH_LAPS=5 (BENCH/BASELINE.md reports every lap).
+    n_laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "3"))
     best = None
     shuffle = None
-    for _ in range(3):
+    laps: list[float] = []
+    for _ in range(n_laps):
         s0 = _shuffle_totals(spark)
         t0 = time.monotonic()
         pipe = DedupPipeline(spark, pages_dir, config=fast)
         clusters = pipe.run()
         n_clustered = clusters.count()
         wall = time.monotonic() - t0
+        laps.append(round(wall, 3))
         s1 = _shuffle_totals(spark)
         if best is None or wall < best[0]:
             best = (wall, pipe, n_clustered)
@@ -125,6 +129,7 @@ def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
     out = {
         "cpus": cpus,
         "wall_sec": round(wall, 3),
+        "laps": laps,
         "pages": n_pages,
         "candidate_pairs": n_pairs,
         "clustered_urls": n_clustered,

@@ -26,26 +26,91 @@ SIMHASH_HAMMING_MAX = 24
 SHORT_TEXT_BYPASS = 300
 
 
-def candidate_pairs(grouped: DataFrame, keep_block_key: bool = True
-                    ) -> DataFrame:
+# hybrid pair generation: blocks up to this size emit full cliques; larger
+# blocks emit hub stars (see candidate_pairs docstring)
+DEFAULT_STAR_MIN_BLOCK = 8
+
+
+def candidate_pairs(grouped: DataFrame, keep_block_key: bool = True,
+                    star_min_block: int | None = None) -> DataFrame:
     """Grouped blocks (block_key, ids array) -> distinct (id_a, id_b) pairs.
 
-    Pair generation is two nested explodes over each block's id array —
-    exactly m(m-1)/2 generated rows per block, all inside one codegen
-    stage, versus a block_key equi self-join's extra exchange + m^2
-    probed rows. The only shuffle here is the final pair dedup
-    (dropDuplicates), which is irreducible for multi-band LSH: a near-dup
-    pair is found by up to 32 bands, so the pre-dedup stream is many
-    times the distinct-pair count — which is why rows are two longs and
-    keep_block_key=False drops the key before that shuffle (the retained
-    key of a multi-band pair is arbitrary anyway)."""
-    a = grouped.select(
+    Clique mode (star_min_block=None): two nested explodes over each
+    block's id array — exactly m(m-1)/2 generated rows per block, all
+    inside one codegen stage, versus a block_key equi self-join's extra
+    exchange + m^2 probed rows. Every co-blocked pair is emitted — the
+    exhaustive form the recall invariants (inv_lsh_recall) quantify over.
+
+    Hybrid mode (star_min_block=K): blocks with m <= K still emit the
+    full clique; larger blocks emit DUAL HUB STARS — (min(ids), x) and
+    (x, max(ids)) for every member, 2(m-1) rows instead of m(m-1)/2.
+    This is meta-blocking
+    style comparison pruning (Papadakis et al., "Meta-Blocking: Taking
+    Entity Resolution to the Next Level", TKDE 2014 — redundant
+    comparisons across overlapping blocks): downstream the pipeline takes
+    the TRANSITIVE CLOSURE of verified matches, so within a block whose
+    members truly near-duplicate each other (the overwhelming case for
+    large LSH blocks — near-clique families), connectivity through the
+    hub yields identical clusters, while the quadratic per-block pair
+    blowup — the dominant shuffle stream at 400k: 122M of 122M pre-dedup
+    pairs came from blocks with m > 12 — collapses to linear. Recall
+    risk is confined to non-hub pairs in a MIXED big block neither of
+    whose endpoints matches that block's hub; such pairs co-occur in up
+    to 31 other bands (different hubs, smaller blocks) and in the
+    host+title key, so a real near-dup pair loses all its emission
+    chances only if every shared band puts it in a big mixed block where
+    BOTH hubs fail it — measured F1 impact at 1k/10k/200k is in
+    BENCH/BASELINE.md. Hubs are min/max(ids) = extremal xxhash64(url):
+    deterministic, and stable across the bands of a family (the same
+    extremal members sit in most of their family's blocks, so star pairs
+    from different bands largely COINCIDE — the pair-dedup exchange
+    shrinks by the duplication factor too).
+
+    The only shuffle here is the final pair dedup (dropDuplicates);
+    rows are two longs, and keep_block_key=False drops the key before
+    that shuffle (the retained key of a multi-band pair is arbitrary
+    anyway)."""
+    if star_min_block is None:
+        gen = grouped
+    else:
+        small = grouped.filter(F.size("ids") <= star_min_block)
+        big = grouped.filter(F.size("ids") > star_min_block)
+        # DUAL hubs (min and max id): a mixed block whose min-hub sits in
+        # one sub-family still connects the other through the max-hub —
+        # 2(m-1) rows, halves the single-hub miss surface for ~2x rows
+        # (measured: restores the last few 200k-scale boundary pairs the
+        # single hub dropped). Both emissions are canonical id_a < id_b;
+        # the (min, max) pair appears in both and dedups.
+        s_min = (
+            big.withColumn("id_a", F.array_min("ids"))
+            .select(
+                "block_key", "id_a",
+                F.explode(
+                    F.filter("ids", lambda y: y > F.col("id_a"))
+                ).alias("id_b"),
+            )
+        )
+        s_max = (
+            big.withColumn("id_b", F.array_max("ids"))
+            .select(
+                "block_key",
+                F.explode(
+                    F.filter("ids", lambda y: y < F.col("id_b"))
+                ).alias("id_a"),
+                "id_b",
+            )
+        )
+        star = s_min.unionByName(s_max)
+        gen = small
+    a = gen.select(
         "block_key", F.explode("ids").alias("id_a"), "ids"
     )
     pairs = a.select(
         "block_key", "id_a",
         F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"),
     )
+    if star_min_block is not None:
+        pairs = pairs.unionByName(star)
     if keep_block_key:
         return pairs.select("id_a", "id_b", "block_key").dropDuplicates(
             ["id_a", "id_b"])

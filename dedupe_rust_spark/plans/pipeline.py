@@ -36,6 +36,10 @@ class PipelineConfig:
     # largest grouping-aggregation row; see blocking._presalt_hot_keys).
     # None disables detection (and its extra sampled scan of the stream).
     hot_block_bound: int | None = blocking.DEFAULT_HOT_BOUND
+    # hybrid candidate generation: blocks > this size emit hub stars
+    # instead of full cliques (meta-blocking comparison pruning — see
+    # candidates.candidate_pairs). None = exhaustive cliques everywhere.
+    star_min_block: int | None = cand.DEFAULT_STAR_MIN_BLOCK
     simhash_prefilter: bool = True
     max_hamming: int = cand.SIMHASH_HAMMING_MAX
     use_golden_text: bool = False
@@ -85,7 +89,8 @@ def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None
         reps = reps.localCheckpoint(eager=False)
     pruned, _ = blocking.prune_blocks(blocking.all_blocks(reps),
                                       cfg.max_block, cfg.hot_block_bound)
-    pairs = cand.candidate_pairs(pruned, keep_block_key=False)
+    pairs = cand.candidate_pairs(pruned, keep_block_key=False,
+                                 star_min_block=cfg.star_min_block)
     if cfg.simhash_prefilter:
         pairs = cand.simhash_prefilter(pairs, sig, cfg.max_hamming)
     scores = scoring.score_candidates(pairs, sig, cfg.lev_match,
@@ -122,6 +127,7 @@ class DedupPipeline:
                 "lev": c.lev_match, "jacc": c.jaccard_match,
                 "max_block": c.max_block,
                 "hot_bound": c.hot_block_bound,
+                "star_min": c.star_min_block,
                 "prefilter": c.simhash_prefilter, "hamming": c.max_hamming,
                 "golden": c.use_golden_text,
                 "exclude": sorted(c.exclude_hosts),
@@ -231,7 +237,8 @@ class DedupPipeline:
                  "run_id": self.run_id,
                  "wall_ms": int((time.monotonic() - t0) * 1000)})
 
-        pairs = cand.candidate_pairs(pruned, keep_block_key=False)
+        pairs = cand.candidate_pairs(pruned, keep_block_key=False,
+                                     star_min_block=self.cfg.star_min_block)
         if self.cfg.simhash_prefilter:
             pairs = cand.simhash_prefilter(pairs, sig, self.cfg.max_hamming)
         # the candidates checkpoint carries the MinHash-Jaccard estimate:

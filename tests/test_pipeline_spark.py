@@ -253,6 +253,32 @@ def test_prune_unsalted_pairs_unchanged(spark, sig):
     assert got == expect
 
 
+def test_candidate_pairs_hybrid_star(spark):
+    """Hybrid mode: blocks <= K emit full cliques, blocks > K emit exactly
+    the dual (min-id, max-id) hub stars; canonical id_a < id_b holds
+    everywhere; clique mode is the exhaustive superset."""
+    grouped = spark.createDataFrame(
+        [(1, [30, 10, 20]),                    # small: clique
+         (2, [9, 3, 7, 5, 1])],                # big (K=3): stars around 1, 9
+        "block_key long, ids array<long>")
+    clique = {(r.id_a, r.id_b) for r in
+              cand.candidate_pairs(grouped, keep_block_key=False).collect()}
+    hybrid = {(r.id_a, r.id_b) for r in
+              cand.candidate_pairs(grouped, keep_block_key=False,
+                                   star_min_block=3).collect()}
+    assert hybrid == {(10, 20), (10, 30), (20, 30),        # clique block
+                      (1, 3), (1, 5), (1, 7), (1, 9),      # min-hub star
+                      (3, 9), (5, 9), (7, 9)}              # max-hub star
+    assert hybrid < clique
+    assert all(a < b for a, b in hybrid)
+    # transitive closure over an all-match big block is identical either
+    # way: the hub connects every member
+    edges = spark.createDataFrame(sorted(hybrid), "src long, dst long")
+    labels = {r.node: r.cluster_id
+              for r in cluster.connected_components(edges).collect()}
+    assert {labels[x] for x in (1, 3, 5, 7, 9)} == {1}
+
+
 def test_hot_key_presalt_bounds_rows_and_conserves_members(spark):
     """The hot-key guard must (a) split a pathological hot key row-level so
     no grouped row holds the whole block, (b) never drop a member, and
