@@ -2,13 +2,14 @@
 
 entry(spark)   — flagship exact-dup cluster query at sf0.001.
 queries()      — catalog of implemented operators (SURVEY.md §2 ids in names).
-oracle_sql()   — DuckDB twins: 30 of 35 queries are value-oracled, including
+oracle_sql()   — DuckDB twins: 33 of 39 queries are value-oracled, including
                  hard invariants for the non-SQL tiers (pipeline exact-
-                 containment, LSH recall, tie-proof ANN top-k recall,
-                 langid accuracy, fingerprint values). The 5 rows-only
-                 entries (banded candidates, simhash values, full pipeline
-                 clusters, the two ANN top-k operating points) are each
-                 covered by a green invariant twin or pytest oracle.
+                 containment AND cluster-label values, LSH recall,
+                 tie-proof ANN/IVF top-k recall, langid accuracy,
+                 fingerprint values). The 6 rows-only entries (banded
+                 candidates, simhash values, full pipeline clusters, the
+                 three ANN top-k operating points) are each covered by a
+                 green invariant twin or pytest oracle.
 """
 
 from __future__ import annotations

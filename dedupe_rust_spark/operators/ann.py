@@ -202,28 +202,34 @@ def ivf_train(corpus: DataFrame, n_cells: int = 16, iters: int = 3,
     aggregation; no shuffle grows with corpus size beyond the tiny
     (cell, partial-sums) stream.
     """
-    import numpy as np
-
-    seeds = (corpus.select(id_col, vec_col).orderBy(id_col)
-             .limit(n_cells).collect())
-    centroids = [list(map(float, r[vec_col])) for r in seeds]
-    for _ in range(iters):
-        dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
-        assigned = corpus.select(
-            vec_col,
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
-        )
-        sums = assigned.groupBy("cell").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
-              for i in range(dim)],
-        ).collect()
-        new = list(centroids)
-        for r in sums:
-            if r["n"] > 0:
-                new[int(r["cell"])] = [r[f"s{i}"] / r["n"]
-                                       for i in range(dim)]
-        centroids = new
+    # every Lloyd iteration (and the seed collect) scans the corpus: cache
+    # the lean (id, vec) projection for the duration of training instead
+    # of re-reading the source per iteration (at scale: iters+1 scans ->
+    # one scan + cached reads)
+    lean = corpus.select(id_col, vec_col).cache()
+    try:
+        seeds = lean.orderBy(id_col).limit(n_cells).collect()
+        centroids = [list(map(float, r[vec_col])) for r in seeds]
+        for _ in range(iters):
+            dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+            assigned = lean.select(
+                vec_col,
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .alias("cell"),
+            )
+            sums = assigned.groupBy("cell").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                  for i in range(dim)],
+            ).collect()
+            new = list(centroids)
+            for r in sums:
+                if r["n"] > 0:
+                    new[int(r["cell"])] = [r[f"s{i}"] / r["n"]
+                                           for i in range(dim)]
+            centroids = new
+    finally:
+        lean.unpersist()
     return centroids
 
 

@@ -805,6 +805,46 @@ SQL_INV_EXACT = f"""
 """
 
 
+def q_inv_exact_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD VALUE ORACLE for the pipeline's cluster LABELS (O1 contract:
+    cluster_id = lexicographic min member url). Per exact-duplicate group:
+      * label_lex_ok  — the group's cluster_id is <= min(url) of the group
+        (true for ANY fuzzy merge: the cluster min can only be smaller);
+      * label_exact_ok — when the enclosing cluster is exactly the group
+        (cluster size == group size, i.e. no fuzzy member joined), the
+        cluster_id must EQUAL the group's min url — the value equality the
+        count-based inv_exact_containment cannot see.
+    DuckDB asserts both booleans true for every group from first
+    principles; a labeling bug (wrong min, propagate join dropping the
+    relabel, off-by-one cluster sizing) flips a row."""
+    from .pipeline import PipelineConfig, dedup_clusters
+
+    out = dedup_clusters(_dpages_as_pages(spark, sf_dir),
+                         PipelineConfig(use_golden_text=True,
+                                        checkpoints=False))
+    h = _hashed(spark, sf_dir).select("url", "th")
+    groups = (h.groupBy("th")
+              .agg(F.count("*").alias("_gn"), F.min("url").alias("_gmin"))
+              .filter(F.col("_gn") > 1))
+    csize = out.groupBy("cluster_id").agg(F.count("*").alias("_cn"))
+    members = (h.join(groups, "th").join(out, "url").join(csize, "cluster_id"))
+    return members.groupBy("th").agg(
+        F.count("*").alias("n_pages"),
+        F.bool_and(F.col("cluster_id") <= F.col("_gmin")).alias("label_lex_ok"),
+        F.bool_and((F.col("_cn") > F.col("_gn"))
+                   | (F.col("cluster_id") == F.col("_gmin"))
+                   ).alias("label_exact_ok"),
+    )
+
+
+SQL_INV_EXACT_LABELS = f"""
+    WITH h AS ({_HASHED_SQL})
+    SELECT th, count(*) AS n_pages, true AS label_lex_ok,
+           true AS label_exact_ok
+    FROM h GROUP BY th HAVING count(*) > 1
+"""
+
+
 def q_inv_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD ORACLE for LSH blocking recall (B1-fuzzy): candidates produced
     by the banded LSH path (no exact-collapse) must contain EVERY
@@ -1056,11 +1096,23 @@ SQL_BPE = f"""
 """
 
 
+# IVF codebooks are deterministic in (sf_dir, n_cells) — memoize per
+# process so the catalog's two IVF queries (operating point + recall
+# invariant) train ONCE per correctness run instead of re-running k-means
+# each (observable via the spark job descriptions)
+_IVF_CODEBOOKS: dict[tuple[str, int], list[list[float]]] = {}
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int = 16):
     from ..operators.ann import ivf_train
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return emb, ivf_train(emb, n_cells=n_cells, iters=3)
+    key = (os.path.normpath(sf_dir), n_cells)
+    if key not in _IVF_CODEBOOKS:
+        spark.sparkContext.setJobDescription(f"ivf_train:{key[0]}")
+        _IVF_CODEBOOKS[key] = ivf_train(emb, n_cells=n_cells, iters=3)
+        spark.sparkContext.setJobDescription(None)
+    return emb, _IVF_CODEBOOKS[key]
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,6 +1224,7 @@ def catalog():
         "simhash_signatures": q_simhash_signatures,
         "full_dedup_clusters": q_full_dedup_clusters,
         "inv_exact_containment": q_inv_exact_containment,
+        "inv_exact_labels": q_inv_exact_labels,
         "inv_lsh_recall": q_inv_lsh_recall,
         "inv_simhash_consistent": q_inv_simhash_consistent,
         "inv_fingerprint_consistent": q_inv_fingerprint_consistent,
@@ -1212,6 +1265,7 @@ def catalog():
         "lsh_emb_dups": SQL_EMB_DUPS,
         "emb_dup_clusters": SQL_EMB_CLUSTERS,
         "inv_exact_containment": SQL_INV_EXACT,
+        "inv_exact_labels": SQL_INV_EXACT_LABELS,
         "inv_lsh_recall": SQL_INV_LSH,
         "inv_simhash_consistent": SQL_INV_EXACT,
         "inv_fingerprint_consistent": SQL_INV_EXACT,
