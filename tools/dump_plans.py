@@ -54,25 +54,52 @@ def main() -> None:
     # 2. exact clusters (flagship, builtin-only)
     sections.append((
         "Exact-dup clusters (groupBy sha256, HAVING n>1, min-url label)",
-        "Two-phase HashAggregate (partial + final) around one Exchange; "
-        "WholeStageCodegen spans everything; no Python.",
+        "Partial + final aggregation around one Exchange; WholeStageCodegen "
+        "spans everything; no Python. NOTE: the min(url) label agg carries "
+        "a var-length string buffer, so Spark plans it as SortAggregate — "
+        "acceptable HERE because d2 is an output-contract query whose "
+        "result is the label itself; the HOT-PATH exact collapse selects "
+        "roots by min(id) and is a true HashAggregate (next section).",
         fmt(q_d2_exact_clusters(spark, sf_dir)),
     ))
 
-    # 3. candidate self-join
+    # 2b. hot-path exact collapse: must be HashAggregate, no Sort
+    roots_df = blocking.exact_roots(sig)
+    reps_df = blocking.exact_representatives(sig, roots_df)
+    gm_df = blocking.exact_group_map(sig, roots_df)
+    sections.append((
+        "Exact collapse (hot path): min(id) roots + long-keyed rep join",
+        "ALL THREE plans (roots, representatives, group map) must show "
+        "HashAggregate and contain NO Sort / SortAggregate node: the "
+        "min(id) buffer is an 8-byte long, which HashAggregateExec holds "
+        "(round-3's min_by(..., url) silently fell back to SortAggregate "
+        "+ a per-partition corpus sort). Representatives are recovered by "
+        "a hash join on id = root_id; min-url labels are applied once at "
+        "cluster output (propagate_to_members), where the single "
+        "SortAggregate over CLUSTERED rows only is contract-required.",
+        "\n".join(["-- exact_roots --", fmt(roots_df),
+                   "-- exact_representatives --", fmt(reps_df),
+                   "-- exact_group_map --", fmt(gm_df)]),
+    ))
+
+    # 3. candidate generation as the pipeline runs it (hybrid star)
     reps = blocking.exact_representatives(sig)
     pruned, _ = blocking.prune_blocks(blocking.all_blocks(reps))
-    pairs = cand.simhash_prefilter(cand.candidate_pairs(pruned), sig)
+    pairs = cand.simhash_prefilter(
+        cand.candidate_pairs(pruned, keep_block_key=False,
+                             star_min_block=cand.DEFAULT_STAR_MIN_BLOCK),
+        sig)
     sections.append((
-        "Grouped LSH blocking -> nested-explode pairs + SimHash prefilter",
+        "Grouped LSH blocking -> hybrid star/clique pairs + SimHash prefilter",
         "ONE hash-agg exchange for the band stream (collect_list per "
         "block key, map-side combinable); singleton prune and oversized-"
         "block salting are in-row expressions (no Window, no join-back); "
-        "pairs come from two nested Generate (explode) nodes — no self-"
-        "join; the only pair-sized exchange is the dropDuplicates dedup. "
-        "Every pair/key column is a LONG (surrogate ids — no url or "
-        "block-key strings in any shuffle); bit_count(xor) prefilter is "
-        "a codegen'd expression.",
+        "pairs come from Generate (explode) nodes — small blocks via the "
+        "nested clique explode, large blocks via the two dual-hub star "
+        "explodes, unioned — no self-join; the only pair-sized exchange "
+        "is the dropDuplicates dedup. Every pair/key column is a LONG "
+        "(surrogate ids — no url or block-key strings in any shuffle); "
+        "bit_count(xor) prefilter is a codegen'd expression.",
         fmt(pairs),
     ))
 
