@@ -143,6 +143,28 @@ def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
     return out
 
 
+def _pair_dup_stats(spark, sf_dir: str) -> dict:
+    """Generated-vs-scored pair duplication at the bench input (the
+    round-3 verdict's tracked metric; full sweep in tools/pair_stats.py).
+    One histogram agg over the grouped blocks — cheap, untimed."""
+    from dedupe_rust_spark.datagen import pages_dir_for
+    from dedupe_rust_spark.operators import blocking, signatures as sigs
+    from dedupe_rust_spark.operators.candidates import (
+        DEFAULT_STAR_MIN_BLOCK, pair_stream_stats,
+    )
+    from dedupe_rust_spark.sources.pages import clean_pages, read_pages
+
+    pages = clean_pages(read_pages(spark, pages_dir_for(sf_dir,
+                                                        n_rows=BENCH_ROWS)))
+    par = spark.sparkContext.defaultParallelism
+    sig = sigs.signatures(sigs.extract(pages.repartition(2 * par)))
+    pruned, _ = blocking.prune_blocks(
+        blocking.all_blocks(blocking.exact_representatives(sig)))
+    stats = pair_stream_stats(pruned,
+                              star_min_block=DEFAULT_STAR_MIN_BLOCK)
+    return {"pair_generated_rows": stats["generated_pair_rows"]}
+
+
 def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
     """Per-query wall times for the headline catalog queries."""
     import __spark_entry__ as entrymod
@@ -153,6 +175,9 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
         "s6_lang_census", "ngram_shingles", "minhash_lsh_candidates",
         "simhash_signatures", "ann_cosine_topk", "lineitem_pricing",
         "order_customer_join",
+        # round-3 additions, tracked from round 4 on (r3 walls seeded as
+        # the baseline in BENCH/BASELINE.md)
+        "ivf_cosine_topk", "lsh_emb_dups", "emb_dup_clusters",
     ]
     out: dict[str, float] = {}
     for name in names:
@@ -221,6 +246,8 @@ def main() -> None:
     queries = run_catalog_queries(spark, SF_DIR)
     queries["full_dedup_pipeline"] = pipe["wall_sec"]
     total = round(sum(queries.values()), 3)
+    dup = _pair_dup_stats(spark, SF_DIR)
+    gen = dup["pair_generated_rows"]
     print(json.dumps({
         "metric": "dedup_engine_bench", "value": total, "unit": "sec",
         "queries": queries, "sf": _sf_label(SF_DIR),
@@ -229,6 +256,8 @@ def main() -> None:
         "candidate_pairs": pipe["candidate_pairs"],
         "candidate_pairs_per_sec": pipe["candidate_pairs_per_sec"],
         "pages_per_sec": pipe["pages_per_sec"],
+        "pair_generated_rows": gen,
+        "pair_dup_factor": round(gen / max(pipe["candidate_pairs"], 1), 2),
         **{k: pipe[k] for k in ("shuffle_write_bytes", "shuffle_read_bytes")
            if k in pipe},
     }))

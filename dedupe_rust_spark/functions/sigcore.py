@@ -116,7 +116,10 @@ def band_keys_batch(sigs: np.ndarray, bands: int = LSH_BANDS) -> np.ndarray:
     arithmetic across the whole batch, no per-doc hashing calls."""
     n, k = sigs.shape
     rows = k // bands
-    chunks = sigs.reshape(n, bands, rows)
+    # schemes that don't divide k evenly (e.g. 24 bands over k=128 -> 5
+    # rows) use the first bands*rows signature rows; the remainder is
+    # simply unused by banding (MinHash estimates still use all k)
+    chunks = sigs[:, : bands * rows].reshape(n, bands, rows)
     band_salt = _avalanche(
         np.arange(bands, dtype=np.uint64) * _MIX_C1 + np.uint64(1)
     )  # (bands,)

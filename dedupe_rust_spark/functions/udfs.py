@@ -34,32 +34,44 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda b: textcore.extract_text(None if b is None else bytes(b)))
 
 
-@pandas_udf(SIG_UDF_RESULT)
-def signatures_udf(text: pd.Series) -> pd.DataFrame:
-    """text -> (simhash, 32 LSH band bucket keys, 16-BIT truncated MinHash
-    values — the uint16 cast below; truncation inflates the Jaccard
-    estimate by ~(1-j)/65536, negligible, and halves pair-join bytes
-    (schemas.py SIG_UDF_RESULT documents the same).
-    One vectorized numpy pass over the whole Arrow batch
-    (sigcore.signatures_batch): shingle hashes computed once per doc and
-    shared by MinHash + SimHash, segment-reduced minhash, batch band mix.
-    The truncated MinHash rides along so scoring can estimate Jaccard
-    JVM-side (SIG_UDF_RESULT note in schemas.py)."""
-    texts = [t if isinstance(t, str) else None for t in text]
-    mask, simh, minh, bkeys = sigcore.signatures_batch(texts)
-    simh_i = simh.astype(np.int64)
-    bands_i = bkeys.astype(np.int64).tolist()
-    minh_i = minh.astype(np.uint16).astype(np.int16).tolist()
-    return pd.DataFrame(
-        {
-            "simhash": [int(simh_i[i]) if mask[i] else None
-                        for i in range(len(texts))],
-            "bands": [bands_i[i] if mask[i] else None
-                      for i in range(len(texts))],
-            "minhash": [minh_i[i] if mask[i] else None
-                        for i in range(len(texts))],
-        }
-    )
+def make_signatures_udf(bands: int = sigcore.LSH_BANDS):
+    """Build the signature pandas UDF for a given LSH band count over the
+    fixed k=128 MinHash (rows = 128 // bands; 24 bands -> 5-row bands over
+    the first 120 signature rows). The default 32x4 instance is exported
+    as `signatures_udf`; non-default schemes exist for the banding sweep
+    recorded in BENCH/BASELINE.md."""
+
+    @pandas_udf(SIG_UDF_RESULT)
+    def signatures_udf_(text: pd.Series) -> pd.DataFrame:
+        """text -> (simhash, LSH band bucket keys, 16-BIT truncated MinHash
+        values — the uint16 cast below; truncation inflates the Jaccard
+        estimate by ~(1-j)/65536, negligible, and halves pair-join bytes
+        (schemas.py SIG_UDF_RESULT documents the same).
+        One vectorized numpy pass over the whole Arrow batch
+        (sigcore.signatures_batch): shingle hashes computed once per doc
+        and shared by MinHash + SimHash, segment-reduced minhash, batch
+        band mix. The truncated MinHash rides along so scoring can
+        estimate Jaccard JVM-side (SIG_UDF_RESULT note in schemas.py)."""
+        texts = [t if isinstance(t, str) else None for t in text]
+        mask, simh, minh, bkeys = sigcore.signatures_batch(texts, bands=bands)
+        simh_i = simh.astype(np.int64)
+        bands_i = bkeys.astype(np.int64).tolist()
+        minh_i = minh.astype(np.uint16).astype(np.int16).tolist()
+        return pd.DataFrame(
+            {
+                "simhash": [int(simh_i[i]) if mask[i] else None
+                            for i in range(len(texts))],
+                "bands": [bands_i[i] if mask[i] else None
+                          for i in range(len(texts))],
+                "minhash": [minh_i[i] if mask[i] else None
+                            for i in range(len(texts))],
+            }
+        )
+
+    return signatures_udf_
+
+
+signatures_udf = make_signatures_udf()
 
 
 # MinHash-estimate decision band half-width: estimates within ±REFINE_BAND

@@ -117,6 +117,28 @@ def candidate_pairs(grouped: DataFrame, keep_block_key: bool = True,
     return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
 
+def pair_stream_stats(grouped: DataFrame, star_min_block: int | None = None
+                      ) -> dict:
+    """Block-size histogram summary of the candidate pair stream: how many
+    pair rows generation EMITS before the dedup exchange (the bench
+    duplication metric — BENCH/BASELINE.md). One count agg over the
+    grouped blocks; no pair materialization."""
+    hist = (grouped.select(F.size("ids").alias("m"))
+            .groupBy("m").count().collect())
+    if star_min_block is None:
+        gen = sum(r["count"] * r["m"] * (r["m"] - 1) // 2 for r in hist)
+    else:
+        gen = sum(
+            r["count"] * (r["m"] * (r["m"] - 1) // 2
+                          if r["m"] <= star_min_block else 2 * (r["m"] - 1))
+            for r in hist)
+    return {
+        "blocks": sum(r["count"] for r in hist),
+        "block_members": sum(r["count"] * r["m"] for r in hist),
+        "generated_pair_rows": gen,
+    }
+
+
 def simhash_prefilter(pairs: DataFrame, sig: DataFrame,
                       max_hamming: int = SIMHASH_HAMMING_MAX,
                       short_bypass: int = SHORT_TEXT_BYPASS) -> DataFrame:

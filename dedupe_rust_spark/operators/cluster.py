@@ -43,12 +43,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """edges(src,dst) -> labels(node, cluster_id), cluster_id = min member
     (by the node type's ordering — longs for the pipeline's surrogate ids).
 
     Only nodes that appear in an edge are returned (singletons are added by
-    the caller if desired).
+    the caller if desired). Pass `stats` to receive {"levels": k} — the
+    number of contraction levels actually run (the scale-rehearsal metric:
+    levels grow O(log diameter), so a jump flags a structural change in
+    the match graph, not just more data).
     """
     sc = edges.sparkSession.sparkContext
     # materialize the edge list once: its lineage may carry the whole
@@ -85,6 +89,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         if nxt.isEmpty():
             break
         cur = nxt
+    if stats is not None:
+        stats["levels"] = len(mappings)
     # compose coarse-to-fine: final(node) = m_k(... m_1(node)). Labels
     # absent from the coarser map (their component already terminal) pass
     # through via the left join + coalesce.

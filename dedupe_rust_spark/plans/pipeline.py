@@ -40,6 +40,10 @@ class PipelineConfig:
     # instead of full cliques (meta-blocking comparison pruning — see
     # candidates.candidate_pairs). None = exhaustive cliques everywhere.
     star_min_block: int | None = cand.DEFAULT_STAR_MIN_BLOCK
+    # LSH band count over the fixed k=128 MinHash (None = sigcore default
+    # 32x4). The 24x5/16x8 sweep is recorded in BENCH/BASELINE.md; 32x4
+    # stays the default for boundary recall (threshold curve at j=0.5).
+    lsh_bands: int | None = None
     simhash_prefilter: bool = True
     max_hamming: int = cand.SIMHASH_HAMMING_MAX
     use_golden_text: bool = False
@@ -75,7 +79,8 @@ def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None
     of a parquet dir. Returns labels (url, cluster_id), clustered rows only.
     """
     cfg = cfg or PipelineConfig(checkpoints=False)
-    sig = sigs.signatures(sigs.extract(pages, cfg.use_golden_text))
+    sig = sigs.signatures(sigs.extract(pages, cfg.use_golden_text),
+                          cfg.lsh_bands)
     sig = sig.localCheckpoint()  # consumed by 4 downstream subtrees
     _audit_ids(sig)  # unconditional fail-fast (signatures.py contract)
     # the min(id) roots agg (one HashAggregate over the corpus) feeds both
@@ -128,6 +133,7 @@ class DedupPipeline:
                 "max_block": c.max_block,
                 "hot_bound": c.hot_block_bound,
                 "star_min": c.star_min_block,
+                "lsh_bands": c.lsh_bands,
                 "prefilter": c.simhash_prefilter, "hamming": c.max_hamming,
                 "golden": c.use_golden_text,
                 "exclude": sorted(c.exclude_hosts),
@@ -199,7 +205,7 @@ class DedupPipeline:
         par = self.spark.sparkContext.defaultParallelism
         pages = pages.repartition(2 * par)
         extracted = sigs.extract(pages, self.cfg.use_golden_text)
-        sig = sigs.signatures(extracted)
+        sig = sigs.signatures(extracted, self.cfg.lsh_bands)
         return self._checkpoint(sig, "signatures")
 
     def run(self) -> DataFrame:
@@ -258,11 +264,14 @@ class DedupPipeline:
         # never be lost (F1 floor, SURVEY.md §7e): a group's members always
         # share their root's final label.
         t0 = time.monotonic()
-        rep_labels = cluster.connected_components(scoring.match_edges(scores))
+        cc_stats: dict = {}
+        rep_labels = cluster.connected_components(scoring.match_edges(scores),
+                                                  stats=cc_stats)
         labels = cluster.propagate_to_members(rep_labels, ex_map,
                                               sig.select("id", "url"))
         self.stage_metrics.append(
-            {"stage": "cc_loop", "rows_out": -1, "run_id": self.run_id,
+            {"stage": "cc_loop", "rows_out": cc_stats.get("levels", -1),
+             "run_id": self.run_id,
              "wall_ms": int((time.monotonic() - t0) * 1000)})
         clusters = self._checkpoint(labels, "clusters")
 

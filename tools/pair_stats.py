@@ -44,27 +44,18 @@ def main() -> None:
     pruned, _ = blocking.prune_blocks(blocking.all_blocks(reps))
     pruned = pruned.localCheckpoint()
 
-    hist = (pruned.select(F.size("ids").alias("m"))
-            .groupBy("m").count().collect())
-    blocks = sum(r["count"] for r in hist)
-    members = sum(r["count"] * r["m"] for r in hist)
+    from dedupe_rust_spark.operators.candidates import pair_stream_stats
 
     for mode in modes:
-        if mode is None:
-            generated = sum(r["count"] * r["m"] * (r["m"] - 1) // 2
-                            for r in hist)
-        else:
-            generated = sum(
-                r["count"] * (r["m"] * (r["m"] - 1) // 2 if r["m"] <= mode
-                              else 2 * (r["m"] - 1))
-                for r in hist)
+        stats = pair_stream_stats(pruned, star_min_block=mode)
         distinct = candidate_pairs(pruned, keep_block_key=False,
                                    star_min_block=mode).count()
         print(json.dumps({
-            "pages": n_pages, "mode": "clique" if mode is None else f"star{mode}",
-            "blocks": blocks, "block_members": members,
-            "generated_pair_rows": generated, "distinct_pairs": distinct,
-            "dup_factor": round(generated / max(distinct, 1), 2),
+            "pages": n_pages,
+            "mode": "clique" if mode is None else f"star{mode}",
+            **stats, "distinct_pairs": distinct,
+            "dup_factor": round(stats["generated_pair_rows"]
+                                / max(distinct, 1), 2),
         }))
     spark.stop()
 
