@@ -9,12 +9,17 @@ Two tiers (training-data-pipeline ops, beyond the reference's surface):
                        cross join is impossible; bucketing makes the join
                        equi on (table, bucket) and AQE handles skew.
 
-Embeddings are array<float>; all arithmetic is cast to double and stays in
-codegen (F.aggregate/F.zip_with) — no Python in the scoring path.
+Embeddings are array<float>; pair/probe scoring arithmetic is cast to
+double and stays in codegen (F.aggregate/F.zip_with). The one Python
+surface is SRP bucketing (_srp_buckets_udf): a dense matmul against a
+constant plane matrix, done as one Arrow-batch numpy matmul — the
+expression-tree form was a measured plan-size pathology (see the UDF's
+docstring).
 """
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the Arrow UDF type hints
 from pyspark.sql import DataFrame, Window, functions as F
 
 SRP_BITS = 16  # 2^16 buckets; tune to corpus size / recall target
@@ -66,31 +71,56 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     )
 
 
+def _srp_buckets_udf(planes, bits: int):
+    """Arrow pandas UDF: embedding -> array<long> of per-table SRP bucket
+    ids, ONE numpy matmul per batch ((n, dim) @ (dim, tables*bits), sign,
+    bit-pack). Deterministic: the plane matrix is a seeded literal baked
+    into the UDF closure.
+
+    Why a UDF here when every other ANN expression is builtin: the
+    expression-tree forms are pathological at this fan-out — per-plane
+    expressions build n_planes*dim literal nodes (a ~16k-node plan whose
+    analysis/codegen took ~50 s for a 2,000-row corpus, measured round 4),
+    and a single nested-array literal + higher-order functions stalls the
+    analyzer on the 16k-element literal. A dense matmul against a constant
+    matrix is exactly the Arrow-batch case; the scoring path (dot/cosine
+    of PAIRED rows) stays builtin."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    n_tables = planes.shape[0] // bits
+    W = planes.T.copy()                      # (dim, tables*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def srp(col: pd.Series) -> pd.Series:
+        rows = col.tolist()
+        out: list[list[int] | None] = [None] * len(rows)
+        valid = [i for i, v in enumerate(rows) if v is not None]
+        if valid:
+            M = np.asarray([rows[i] for i in valid], dtype=np.float64)
+            S = (M @ W) > 0                          # (n, tables*bits)
+            B = (S.reshape(len(valid), n_tables, bits)
+                 * weights).sum(axis=2)              # (n, tables)
+            for j, i in enumerate(valid):
+                out[i] = [int(x) for x in B[j]]
+        return pd.Series(out)
+
+    return srp
+
+
 def srp_bucket(df: DataFrame, vec_col: str = "embedding",
                bits: int = SRP_BITS, dim: int = 64, seed: int = 42) -> DataFrame:
-    """Signed-random-projection bucket id per row (JVM-side).
+    """Signed-random-projection bucket id per row (one table).
 
-    Hyperplanes are a deterministic literal matrix (seeded numpy) compiled
-    into the plan — no shuffle, no UDF.
-    """
+    Hyperplanes are a deterministic seeded matrix; bucketing is the
+    batched matmul UDF (_srp_buckets_udf)."""
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((bits, dim))
-    bucket = F.lit(0).cast("long")
-    for b in range(bits):
-        row = planes[b]
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(v)) for v in row]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return df.withColumn("bucket", bucket)
+    planes = np.random.RandomState(seed).standard_normal((bits, dim))
+    udf = _srp_buckets_udf(planes, bits)
+    return df.withColumn("bucket", udf(F.col(vec_col))[0])
 
 
 def srp_band_blocks(df: DataFrame, id_col: str = "vec_id",
@@ -117,24 +147,9 @@ def srp_band_blocks(df: DataFrame, id_col: str = "vec_id",
     else:
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((n_tables * bits, dim))
-    buckets = []
-    for t in range(n_tables):
-        b = F.lit(0).cast("long")
-        for i in range(bits):
-            row = planes[t * bits + i]
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in row]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            b = b + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(0)
-        buckets.append(b)
+    udf = _srp_buckets_udf(planes, bits)
     return df.select(
-        F.col(id_col), F.posexplode(F.array(*buckets)).alias("table", "bucket")
+        F.col(id_col), F.posexplode(udf(F.col(vec_col))).alias("table", "bucket")
     ).select(
         F.concat_ws(":", F.col("table"), F.col("bucket")).alias("block_key"),
         id_col,

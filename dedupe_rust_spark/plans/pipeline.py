@@ -200,10 +200,15 @@ class DedupPipeline:
                             self.cfg.exclude_hosts)
         # The synthetic pages table is one small parquet file -> one input
         # split -> the extraction UDF would run on a single task. Spread it
-        # across the cluster; on a real 100 TB table the scan already yields
-        # thousands of splits and this repartition is a no-op cost-wise.
+        # across the cluster — but ONLY when the scan is actually
+        # under-parallel: an unconditional repartition here would shuffle
+        # the ENTIRE page corpus (html included) on a real 100 TB table
+        # whose scan already yields tens of thousands of splits. The scan
+        # split count is known before any job runs (parquet footer
+        # metadata), so this check is free.
         par = self.spark.sparkContext.defaultParallelism
-        pages = pages.repartition(2 * par)
+        if pages.rdd.getNumPartitions() < 2 * par:
+            pages = pages.repartition(2 * par)
         extracted = sigs.extract(pages, self.cfg.use_golden_text)
         sig = sigs.signatures(extracted, self.cfg.lsh_bands)
         return self._checkpoint(sig, "signatures")
