@@ -190,25 +190,14 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
     )
 
 
-def _sq_dist(vec_col, center: list[float]):
-    """Squared L2 distance row-expression to a literal centroid (JVM)."""
-    return F.aggregate(
-        F.zip_with(F.col(vec_col),
-                   F.array(*[F.lit(float(c)) for c in center]),
-                   lambda x, y: (x.cast("double") - y)
-                   * (x.cast("double") - y)),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
-
-
 def ivf_train(corpus: DataFrame, n_cells: int = 16, iters: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding",
               dim: int = 64) -> list[list[float]]:
     """Deterministic k-means coarse quantizer (Lloyd iterations, all
     DataFrame ops): init = the vectors of the n_cells smallest ids
     (data-dependent, seedless, reproducible); each iteration assigns rows
-    to their nearest centroid via literal-centroid distance expressions
-    (codegen, no UDF) and recomputes per-dimension means with one
+    to their nearest centroid via the batched codebook-matmul UDF
+    (_ivf_cells_udf) and recomputes per-dimension means with one
     groupBy. Centroids are k x dim floats — driver-resident by design
     (the coarse codebook of an IVF index is broadcast state, like a
     dimension table).
@@ -226,12 +215,9 @@ def ivf_train(corpus: DataFrame, n_cells: int = 16, iters: int = 3,
         seeds = lean.orderBy(id_col).limit(n_cells).collect()
         centroids = [list(map(float, r[vec_col])) for r in seeds]
         for _ in range(iters):
-            dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+            cell_udf = _ivf_cells_udf(centroids, n_nearest=1)
             assigned = lean.select(
-                vec_col,
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .alias("cell"),
-            )
+                vec_col, cell_udf(F.col(vec_col))[0].alias("cell"))
             sums = assigned.groupBy("cell").agg(
                 F.count("*").alias("n"),
                 *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
@@ -248,13 +234,43 @@ def ivf_train(corpus: DataFrame, n_cells: int = 16, iters: int = 3,
     return centroids
 
 
+def _ivf_cells_udf(centroids: list[list[float]], n_nearest: int = 1):
+    """Arrow pandas UDF: embedding -> the n_nearest cell ids by squared
+    L2 distance to the (constant, driver-resident) codebook — one numpy
+    distance matrix per batch, ||v-c||^2 = |v|^2 - 2 v.C + |c|^2, stable
+    argsort (distance ties break by cell index, matching the former
+    array_sort(struct(d, cell)) expression). Same plan-size rationale as
+    _srp_buckets_udf: per-centroid literal expressions built
+    n_cells*dim-node trees that dominated small-query wall time."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)          # (cells, dim)
+    c_sq = (C * C).sum(axis=1)                           # (cells,)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(col: pd.Series) -> pd.Series:
+        rows = col.tolist()
+        out: list[list[int] | None] = [None] * len(rows)
+        valid = [i for i, v in enumerate(rows) if v is not None]
+        if valid:
+            M = np.asarray([rows[i] for i in valid], dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (M @ C.T)          # + |v|^2 (const/row)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_nearest]
+            for j, i in enumerate(valid):
+                out[i] = [int(x) for x in order[j]]
+        return pd.Series(out)
+
+    return cells
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Attach the nearest-centroid cell id (0-based) — the IVF inverted
-    list key. Pure codegen expression over literal centroids."""
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
-    return df.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1))
+    list key (batched matmul UDF against the broadcast codebook)."""
+    udf = _ivf_cells_udf(centroids, n_nearest=1)
+    return df.withColumn("cell", udf(F.col(vec_col))[0])
 
 
 def ivf_cosine_topk(corpus: DataFrame, probes: DataFrame,
@@ -269,16 +285,12 @@ def ivf_cosine_topk(corpus: DataFrame, probes: DataFrame,
     oracle). Top-k per probe via window with deterministic tie-break.
     """
     n_cells = len(centroids)
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
-    ranked = F.slice(
-        F.array_sort(F.transform(
-            dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))),
-        1, min(n_probe, n_cells),
-    )
+    probe_cells_udf = _ivf_cells_udf(centroids,
+                                     n_nearest=min(n_probe, n_cells))
     pc = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
-        F.explode(ranked).alias("r"),
-    ).select("probe_id", "pv", F.col("r.cell").alias("cell"))
+        F.explode(probe_cells_udf(F.col(vec_col))).alias("cell"),
+    )
     cc = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv")), centroids, "cv")
