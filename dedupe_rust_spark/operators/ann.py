@@ -170,7 +170,10 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
     per-bucket self-join); tables buy back the recall that extra bits cost.
     """
     ids = df.select(id_col, vec_col)
-    blocks = srp_band_blocks(ids, id_col, vec_col, bits, n_tables, dim, seed)
+    # both sides of the self-join consume the banded stream: materialize
+    # it once so the bucket UDF pass runs once, not per join side
+    blocks = srp_band_blocks(ids, id_col, vec_col, bits, n_tables, dim,
+                             seed).localCheckpoint(eager=False)
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(b, "block_key")
