@@ -56,6 +56,19 @@ def _warmup(spark) -> None:
     df = df.withColumn("sig", signatures_udf("text"))
     df = df.withColumn("s", score_pairs_udf("text", "text", F.lit(0.5)))
     df.write.format("noop").mode("overwrite").save()
+    # spin the ANN bucket/codebook UDF workers too (the embedding catalog
+    # queries use them; worker startup is the same one-time cluster cost)
+    import numpy as np
+
+    from dedupe_rust_spark.operators.ann import _ivf_cells_udf, _srp_buckets_udf
+
+    vec = spark.range(2 * par).select(
+        F.array(*[(F.col("id") + i).cast("double")
+                  for i in range(64)]).alias("v"))
+    srp = _srp_buckets_udf(np.zeros((8, 64)) + 0.5, 4)
+    ivf = _ivf_cells_udf([[0.0] * 64, [1.0] * 64], 1)
+    vec.select(srp("v"), ivf("v")).write.format("noop").mode(
+        "overwrite").save()
 
 
 def _shuffle_totals(spark) -> dict[str, int] | None:

@@ -48,17 +48,19 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     partition streams past the in-memory probe table.
     """
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+        _norm(F.col(vec_col)).alias("pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
             F.round(_dot(F.col("pv"), F.col("cv"))
-                    / (_norm(F.col("pv")) * _norm(F.col("cv"))), 6),
+                    / (F.col("pn") * F.col("cn")), 6),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -182,12 +184,20 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
                 F.col(f"b.{id_col}").alias("vec_id_b"))
         .distinct()
     )
-    va = ids.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
-    vb = ids.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    # norms are per-VECTOR quantities: compute them once on the n-row side
+    # of each join instead of re-evaluating the norm fold on every one of
+    # the candidate-pair rows (same expression on the same data -> same
+    # float values; only the dot stays per-pair)
+    va = ids.select(F.col(id_col).alias("vec_id_a"),
+                    F.col(vec_col).alias("va"),
+                    _norm(F.col(vec_col)).alias("na"))
+    vb = ids.select(F.col(id_col).alias("vec_id_b"),
+                    F.col(vec_col).alias("vb"),
+                    _norm(F.col(vec_col)).alias("nb"))
     return (
         pairs.join(va, "vec_id_a").join(vb, "vec_id_b")
         .withColumn("cosine", F.round(_dot(F.col("va"), F.col("vb"))
-                                      / (_norm(F.col("va")) * _norm(F.col("vb"))), 4))
+                                      / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
     )
@@ -292,18 +302,20 @@ def ivf_cosine_topk(corpus: DataFrame, probes: DataFrame,
                                      n_nearest=min(n_probe, n_cells))
     pc = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+        _norm(F.col(vec_col)).alias("pn"),
         F.explode(probe_cells_udf(F.col(vec_col))).alias("cell"),
     )
     cc = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv")), centroids, "cv")
+                      F.col(vec_col).alias("cv"),
+                      _norm(F.col(vec_col)).alias("cn")), centroids, "cv")
     scored = (
         cc.join(F.broadcast(pc), "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
             F.round(_dot(F.col("pv"), F.col("cv"))
-                    / (_norm(F.col("pv")) * _norm(F.col("cv"))), 6),
+                    / (F.col("pn") * F.col("cn")), 6),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
