@@ -4,12 +4,16 @@ The reference never needs CC: hash-equality matching is transitive, so
 groups are clusters (/root/reference/src/main.rs:616-624). Fuzzy matching
 breaks transitivity, hence transitive closure here.
 
-Algorithm: LABEL CONTRACTION (the alternating-star family of MapReduce CC
-algorithms recast as levels of graph contraction). Each level labels every
-node with min(self, neighbors) — a valid partial contraction, since a
-node's label is itself or an adjacent node — then rebuilds the edge set
-BETWEEN LABELS and recurses on the contracted graph. Final labels compose
-the per-level mappings coarse-to-fine.
+Algorithm: LABEL CONTRACTION with per-level path compression (the
+star-hooking + pointer-jumping family of MapReduce CC algorithms recast
+as levels of graph contraction). Each level (a) HOOKS every node to
+min(self, neighbors) — a forest, since every hook points strictly down —
+(b) POINTER-JUMPS the hook table to fixpoint (label <- label(label),
+O(log tree-depth) cheap label self-joins), labeling each node with its
+hook-tree root, then (c) rebuilds the edge set BETWEEN ROOTS and recurses
+on the contracted graph. Final labels compose the per-level mappings
+coarse-to-fine. Once the contracted graph is small (driver_finish_edges)
+the tail runs as exact driver-side union-find.
 
 Why contraction instead of round-2's hash-to-min + pointer jumping: dedup
 components are near-cliques, so the first min-labeling collapses almost
@@ -18,9 +22,12 @@ volume is ~6|E_level| and |E| drops by orders of magnitude after level 0,
 where hash-to-min re-propagated over the FULL symmetrized edge table every
 round (~16|E| total with the confirmation round). At 400k pages the CC
 stage was the largest shuffle producer in the pipeline; contraction
-roughly halves it. Convergence in O(log d) levels for diameter d (paths
-halve per level); the termination check is an isEmpty on the materialized
-contracted edge set, not an extra propagation round.
+roughly halves it. Near-clique dedup graphs converge in ~3 levels with
+one jump each; a pure chain resolves in ONE level via the jump loop
+(without compression, hooking shortens a chain by one edge per level —
+measured, see the loop comment). The termination check reads the count
+of the already-materialized contracted edge set, not an extra
+propagation round.
 
 Correctness invariants (tested against a union-find oracle and under
 repartitioning): (1) same-label nodes are connected (label ∈ {self} ∪
@@ -43,16 +50,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+DRIVER_FINISH_EDGES = 100_000  # contracted-edge count below which the
+# tail of the CC loop runs as driver-side union-find (~1.6 MB of longs;
+# bounded driver state, like a broadcast dim table)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         driver_finish_edges: int = DRIVER_FINISH_EDGES
+                         ) -> DataFrame:
     """edges(src,dst) -> labels(node, cluster_id), cluster_id = min member
     (by the node type's ordering — longs for the pipeline's surrogate ids).
 
     Only nodes that appear in an edge are returned (singletons are added by
-    the caller if desired). Pass `stats` to receive {"levels": k} — the
-    number of contraction levels actually run (the scale-rehearsal metric:
-    levels grow O(log diameter), so a jump flags a structural change in
-    the match graph, not just more data).
+    the caller if desired). Pass `stats` to receive {"levels": k,
+    "driver_finish": bool} — the number of contraction levels actually run
+    (the scale-rehearsal metric: levels grow O(log diameter), so a jump
+    flags a structural change in the match graph, not just more data).
+
+    Tail handling: level 0 collapses near-clique dedup components, so the
+    level-1 contracted graph is typically orders of magnitude smaller than
+    the input. Once the contracted edge count (known for free — the level
+    output is materialized for the convergence check) drops below
+    `driver_finish_edges`, the remaining levels run as ONE driver-side
+    union-find over ~16-byte edge rows instead of 2-3 more rounds of
+    cluster-wide joins whose serial latency dominates their work. Same
+    labels by construction (union-find is exact and uses the same
+    min-label rule); driver memory is bounded by the threshold.
+    driver_finish_edges=0 disables (pure distributed — the equivalence is
+    unit-tested against it).
     """
     sc = edges.sparkSession.sparkContext
     # materialize the edge list once: its lineage may carry the whole
@@ -64,17 +90,47 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         .localCheckpoint()
     )
     mappings: list[DataFrame] = []
+    if stats is not None:
+        stats["driver_finish"] = False
     for level in range(max_iter):
         sc.setJobDescription(f"cc:level{level}")
         sym = cur.select(
             F.col("src").alias("node"), F.col("dst").alias("nbr")
         ).union(cur.select(
             F.col("dst").alias("node"), F.col("src").alias("nbr")))
-        # min(self, neighbors): the level's contraction mapping. No
-        # distinct on sym — duplicate (node, nbr) rows cannot change a min.
+        # min(self, neighbors): the level's hook mapping. No distinct on
+        # sym — duplicate (node, nbr) rows cannot change a min.
+        # Hooks form a forest (each node points to a strictly smaller
+        # node or itself), so POINTER-JUMPING to fixpoint — label <-
+        # label(label), doubling the compressed distance per jump —
+        # resolves every hook tree to its root in O(log depth) cheap
+        # label-table self-joins. Without compression, hooking alone
+        # shortens a chain component by only ONE edge per contraction
+        # level (measured: a 200-edge path contracted 196, 194, 192...),
+        # i.e. O(diameter) levels; with it a pure path resolves in a
+        # single level. Near-clique dedup components converge in one
+        # jump, so the steady-state overhead is one join + one count per
+        # level.
         lab = sym.groupBy("node").agg(
             F.least(F.col("node"), F.min("nbr")).alias("label")
         ).localCheckpoint()
+        for _jump in range(40):
+            jumped = (
+                lab.join(
+                    lab.select(F.col("node").alias("label"),
+                               F.col("label").alias("_l2")),
+                    "label", "left")
+                .select("node", F.coalesce("_l2", "label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                jumped.withColumnsRenamed({"label": "_new"})
+                .join(lab, "node")
+                .filter(F.col("_new") != F.col("label"))
+            )
+            if changed.isEmpty():
+                break
+            lab = jumped
         mappings.append(lab)
         nxt = (
             cur.join(lab.withColumnsRenamed(
@@ -86,7 +142,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             .distinct()
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        n_next = nxt.count()
+        if n_next == 0:
+            break
+        if n_next <= driver_finish_edges and driver_finish_edges > 0:
+            # exact tail: union-find over the contracted label graph
+            from ..functions.ccore import connected_components as uf_cc
+
+            sc.setJobDescription("cc:driver_finish")
+            uf = uf_cc([(r["src"], r["dst"]) for r in nxt.collect()])
+            fin = edges.sparkSession.createDataFrame(
+                list(uf.items()), schema=lab.select(
+                    "node", "label").schema)
+            mappings.append(fin.localCheckpoint())
+            if stats is not None:
+                stats["driver_finish"] = True
             break
         cur = nxt
     if stats is not None:

@@ -253,6 +253,43 @@ def test_prune_unsalted_pairs_unchanged(spark, sig):
     assert got == expect
 
 
+def test_cc_driver_finish_equals_distributed(spark):
+    """The driver-side union-find tail must produce exactly the labels of
+    the pure-distributed loop. The random graph needs >1 contraction
+    level (hook trees merge through local minima), so the finish path
+    actually fires; the long path checks that per-level path compression
+    resolves a chain in ONE level (pre-round-4, hooking shortened a
+    chain by one edge per level — O(diameter) levels)."""
+    import random
+
+    rng = random.Random(13)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges_list = sorted({(min(a, b), max(a, b))
+                         for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                                      for _ in range(100)) if a != b})
+    expect = uf_cc(edges_list)
+    edges = spark.createDataFrame(edges_list, "src string, dst string")
+    st_d, st_p = {}, {}
+    with_finish = {r.node: r.cluster_id for r in cluster.connected_components(
+        edges, stats=st_d, driver_finish_edges=1000).collect()}
+    pure = {r.node: r.cluster_id for r in cluster.connected_components(
+        edges, stats=st_p, driver_finish_edges=0).collect()}
+    assert with_finish == expect == pure
+    assert st_d["driver_finish"] is True
+    assert st_p["driver_finish"] is False
+    # the driver finish must have cut levels vs the pure loop
+    assert st_d["levels"] <= st_p["levels"]
+
+    # chain component: one level, no O(diameter) blowup
+    path = [(f"p{i:03d}", f"p{i+1:03d}") for i in range(60)]
+    st = {}
+    got = {r.node: r.cluster_id for r in cluster.connected_components(
+        spark.createDataFrame(path, "src string, dst string"),
+        stats=st, driver_finish_edges=0).collect()}
+    assert got == uf_cc(path)
+    assert st["levels"] == 1
+
+
 def test_candidate_pairs_hybrid_star(spark):
     """Hybrid mode: blocks <= K emit full cliques, blocks > K emit exactly
     the dual (min-id, max-id) hub stars; canonical id_a < id_b holds
