@@ -119,7 +119,19 @@ def run_pipeline_once(spark, cpus: int, sf_dir: str, rows: int | None = None
     best = None
     shuffle = None
     laps: list[float] = []
+
+    def _lap_gc():
+        # each lap leaves localCheckpoint RDDs for the async ContextCleaner;
+        # across 5+ laps the lag builds heap pressure and later laps read
+        # slower for GC reasons, not plan reasons. Force the cleanup between
+        # laps (standard JVM-bench housekeeping; outside the timed window).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     for _ in range(n_laps):
+        _lap_gc()
         s0 = _shuffle_totals(spark)
         t0 = time.monotonic()
         pipe = DedupPipeline(spark, pages_dir, config=fast)

@@ -115,22 +115,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             F.least(F.col("node"), F.min("nbr")).alias("label")
         ).localCheckpoint()
         for _jump in range(40):
+            # carry the old label through the jump so convergence reads
+            # off the SAME materialization — no extra join/job per jump
             jumped = (
                 lab.join(
                     lab.select(F.col("node").alias("label"),
                                F.col("label").alias("_l2")),
                     "label", "left")
-                .select("node", F.coalesce("_l2", "label").alias("label"))
+                .select("node",
+                        F.coalesce("_l2", "label").alias("label"),
+                        (F.coalesce("_l2", "label") != F.col("label"))
+                        .alias("_moved"))
                 .localCheckpoint()
             )
-            changed = (
-                jumped.withColumnsRenamed({"label": "_new"})
-                .join(lab, "node")
-                .filter(F.col("_new") != F.col("label"))
-            )
-            if changed.isEmpty():
+            moved = not jumped.filter("_moved").isEmpty()
+            lab = jumped.drop("_moved")
+            if not moved:
                 break
-            lab = jumped
         mappings.append(lab)
         nxt = (
             cur.join(lab.withColumnsRenamed(
