@@ -160,8 +160,14 @@ class DedupPipeline:
             return df
         if not self.cfg.checkpoints and stage == "clusters":
             # small result, >=2 consumers (metrics count + caller): one
-            # cheap materialization, no parquet round-trip
-            return df.localCheckpoint()
+            # cheap materialization, no parquet round-trip. Timed — this
+            # is where the lazy propagate/relabel dataflow actually runs.
+            t0 = time.monotonic()
+            out = df.localCheckpoint()
+            self.stage_metrics.append(
+                {"stage": "clusters", "rows_out": -1, "run_id": self.run_id,
+                 "wall_ms": int((time.monotonic() - t0) * 1000)})
+            return out
         path = self._ckpt_path(stage)
         t0 = time.monotonic()
         if path is None:
