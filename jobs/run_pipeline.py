@@ -32,6 +32,15 @@ def main() -> int:
     ap.add_argument("--lev-match", type=float, default=None)
     ap.add_argument("--jaccard-match", type=float, default=None)
     ap.add_argument("--max-block", type=int, default=None)
+    ap.add_argument("--star-min-block", type=int, default=None,
+                    help="blocks larger than this emit dual-hub stars "
+                         "instead of cliques; 0 = exhaustive cliques")
+    ap.add_argument("--lsh-bands", type=int, default=None,
+                    help="LSH band count over the k=128 MinHash "
+                         "(default 32x4)")
+    ap.add_argument("--hot-block-bound", type=int, default=None,
+                    help="pre-salt band keys above this member estimate; "
+                         "0 disables detection")
     ap.add_argument("--exclude-host", action="append", default=[])
     ap.add_argument("--use-golden-text", action="store_true")
     args = ap.parse_args()
@@ -49,6 +58,12 @@ def main() -> int:
         cfg.jaccard_match = args.jaccard_match
     if args.max_block is not None:
         cfg.max_block = args.max_block
+    if args.star_min_block is not None:
+        cfg.star_min_block = args.star_min_block or None
+    if args.lsh_bands is not None:
+        cfg.lsh_bands = args.lsh_bands
+    if args.hot_block_bound is not None:
+        cfg.hot_block_bound = args.hot_block_bound or None
 
     pipe = DedupPipeline(spark, args.pages, out_dir=args.output,
                          run_id=args.run_id, config=cfg)
