@@ -61,14 +61,27 @@ class PipelineConfig:
 
 def _audit_ids(sig: DataFrame) -> None:
     """Fail fast on an xxhash64(url) surrogate-key collision (two distinct
-    urls, one id -> silently merged clusters). Cheap two-column
-    distinct-count agg over the materialized signatures."""
-    r = sig.agg(F.countDistinct("id").alias("ids"),
-                F.countDistinct("url").alias("urls")).first()
-    if r["ids"] != r["urls"]:
+    urls, one id -> silently merged clusters).
+
+    Single-pass form: per id, compare min/max of an INDEPENDENT second
+    hash of the url (salted xxhash64 — an 8-byte buffer, so the agg stays
+    a map-side-combinable HashAggregate; min/max of the url string itself
+    would fall back to SortAggregate, and two exact countDistincts cost an
+    Expand x2 over the corpus). An id carrying >= 2 distinct urls shows
+    min != max unless the second hash collides for the same pair too
+    (P ~ 2^-64, independent of the audited hash)."""
+    h2 = F.xxhash64(F.col("url"), F.lit(0x9E3779B9))
+    bad = (
+        sig.select("id", h2.alias("_h2"))
+        .groupBy("id")
+        .agg(F.min("_h2").alias("_a"), F.max("_h2").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+    )
+    if not bad.isEmpty():
+        n = bad.count()
         raise RuntimeError(
-            f"xxhash64(url) collision: {r['urls']} urls -> "
-            f"{r['ids']} ids; use a wider surrogate key")
+            f"xxhash64(url) collision on {n} surrogate id(s); "
+            "use a wider surrogate key")
 
 
 def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None

@@ -253,6 +253,20 @@ def test_prune_unsalted_pairs_unchanged(spark, sig):
     assert got == expect
 
 
+def test_id_audit_fires_on_collision(spark):
+    """The surrogate-key audit must fail fast when one id carries two
+    distinct urls, and pass on clean data."""
+    from dedupe_rust_spark.plans.pipeline import _audit_ids
+
+    clean = spark.createDataFrame(
+        [(1, "https://a/x"), (2, "https://a/y")], "id long, url string")
+    _audit_ids(clean)  # no raise
+    collided = spark.createDataFrame(
+        [(1, "https://a/x"), (1, "https://a/y")], "id long, url string")
+    with pytest.raises(RuntimeError, match="collision"):
+        _audit_ids(collided)
+
+
 def test_cc_driver_finish_equals_distributed(spark):
     """The driver-side union-find tail must produce exactly the labels of
     the pure-distributed loop. The random graph needs >1 contraction
