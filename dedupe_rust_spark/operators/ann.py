@@ -150,10 +150,16 @@ def srp_band_blocks(df: DataFrame, id_col: str = "vec_id",
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((n_tables * bits, dim))
     udf = _srp_buckets_udf(planes, bits)
+    # block_key is an 8-byte long (xxhash64 of table+bucket), matching the
+    # text path's band keys (blocking.py lsh_blocks): at 10^9+ vectors x 64
+    # tables a varchar "t:b" key is avoidable shuffle bytes + string
+    # comparisons in the banded self-join. Consumers join on the key only
+    # (pair-set oracles pin pairs, not keys), so the encoding is free to be
+    # opaque.
     return df.select(
         F.col(id_col), F.posexplode(udf(F.col(vec_col))).alias("table", "bucket")
     ).select(
-        F.concat_ws(":", F.col("table"), F.col("bucket")).alias("block_key"),
+        F.xxhash64(F.col("table"), F.col("bucket")).alias("block_key"),
         id_col,
     )
 
@@ -203,9 +209,18 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
     )
 
 
+def suggest_n_cells(corpus_rows: int) -> int:
+    """~sqrt(n) codebook sizing (the standard IVF heuristic: balances the
+    centroid scan against inverted-list length — each is ~sqrt(n) work per
+    probe). 16 is fine for test corpora; a 10^9-row corpus wants ~32k
+    cells, not 16. Clamped to [1, 65536]."""
+    return max(1, min(65536, int(round(corpus_rows ** 0.5))))
+
+
 def ivf_train(corpus: DataFrame, n_cells: int = 16, iters: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              dim: int = 64) -> list[list[float]]:
+              dim: int = 64,
+              train_sample_mod: int | None = None) -> list[list[float]]:
     """Deterministic k-means coarse quantizer (Lloyd iterations, all
     DataFrame ops): init = the vectors of the n_cells smallest ids
     (data-dependent, seedless, reproducible); each iteration assigns rows
@@ -215,17 +230,38 @@ def ivf_train(corpus: DataFrame, n_cells: int = 16, iters: int = 3,
     (the coarse codebook of an IVF index is broadcast state, like a
     dimension table).
 
-    Scale shape: each iteration is one corpus scan + one n_cells-group
-    aggregation; no shuffle grows with corpus size beyond the tiny
-    (cell, partial-sums) stream.
+    train_sample_mod=M trains on the deterministic 1/M subset
+    pmod(xxhash64(id), M) == 0 — at 10^9+ rows Lloyd does not need the
+    full corpus to place ~sqrt(n) centroids, and the sample cuts every
+    training scan by M while the one full-corpus ASSIGNMENT pass
+    (ivf_assign) is unchanged. Deterministic: the subset is a fixed
+    function of ids. If the sample holds fewer than n_cells rows the
+    sample is ignored (full-corpus training) so tiny corpora never train
+    a degenerate codebook. None = train on everything.
+
+    Scale shape: each iteration is one (sampled) corpus scan + one
+    n_cells-group aggregation; no shuffle grows with corpus size beyond
+    the tiny (cell, partial-sums) stream.
     """
     # every Lloyd iteration (and the seed collect) scans the corpus: cache
     # the lean (id, vec) projection for the duration of training instead
     # of re-reading the source per iteration (at scale: iters+1 scans ->
     # one scan + cached reads)
-    lean = corpus.select(id_col, vec_col).cache()
+    full = corpus.select(id_col, vec_col)
+    lean = full
+    if train_sample_mod is not None and train_sample_mod > 1:
+        lean = full.filter(
+            F.pmod(F.xxhash64(F.col(id_col)),
+                   F.lit(train_sample_mod)) == 0)
+    lean = lean.cache()
     try:
         seeds = lean.orderBy(id_col).limit(n_cells).collect()
+        if len(seeds) < n_cells and lean is not full:
+            # sample too small for the codebook — fall back to the full
+            # corpus (deterministic either way)
+            lean.unpersist()
+            lean = full.cache()
+            seeds = lean.orderBy(id_col).limit(n_cells).collect()
         centroids = [list(map(float, r[vec_col])) for r in seeds]
         for _ in range(iters):
             cell_udf = _ivf_cells_udf(centroids, n_nearest=1)
@@ -359,17 +395,23 @@ def lsh_cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
         .distinct()
     )
 
+    # norms are per-VECTOR quantities: hoist the O(dim) norm fold to the
+    # per-vector projections (same as cosine_topk / lsh_cosine_pairs /
+    # ivf_cosine_topk) so a neighbor colliding with many probes folds its
+    # norm once, not once per candidate-pair row; only the dot is per-pair
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("cv"))
+                       F.col(vec_col).alias("cv"),
+                       _norm(F.col(vec_col)).alias("cn"))
     pv = probes.select(F.col(id_col).alias("probe_id"),
-                       F.col(vec_col).alias("pv"))
+                       F.col(vec_col).alias("pv"),
+                       _norm(F.col(vec_col)).alias("pn"))
     scored = (
         pairs.join(cv, "neighbor_id")
         .join(F.broadcast(pv), "probe_id")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("pv"), F.col("cv"))
-                    / (_norm(F.col("pv")) * _norm(F.col("cv"))), 6),
+                    / (F.col("pn") * F.col("cn")), 6),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(

@@ -201,25 +201,30 @@ def _presalt_hot_keys(blocks: DataFrame, max_block: int, hot_bound: int
     if not sampled:
         return blocks, None
     spark = blocks.sparkSession
+    # key-opaque: the broadcast frame reuses the stream's own block_key
+    # type (the pipeline uses 8-byte longs; the generic API also accepts
+    # e.g. string-keyed experimental streams — xxhash64 salts any type)
+    key_type = blocks.schema["block_key"].dataType.simpleString()
     hot = spark.createDataFrame(
-        [(int(r["block_key"]),
+        [(r["block_key"],
           int(-(-r["count"] * HOT_SAMPLE_MOD // max_block)),
           int(r["count"] * HOT_SAMPLE_MOD)) for r in sampled],
-        "block_key long, _nsalt int, _est long",
+        f"block_key {key_type}, _nsalt int, _est long",
     )
+    # the salted key is cast back to the stream's own key type so the
+    # when/otherwise branches agree (ANSI coercion would otherwise cast a
+    # STRING key to BIGINT at runtime and fail on non-numeric keys)
+    salted_key = F.xxhash64(
+        F.col("block_key"),
+        F.pmod(F.xxhash64(F.col("block_key"), F.col("id")),
+               F.col("_nsalt").cast("long")),
+    ).cast(blocks.schema["block_key"].dataType)
     rewritten = (
         blocks.join(F.broadcast(hot.select("block_key", "_nsalt")),
                     "block_key", "left")
         .select(
-            F.when(
-                F.col("_nsalt").isNull(), F.col("block_key")
-            ).otherwise(
-                F.xxhash64(
-                    F.col("block_key"),
-                    F.pmod(F.xxhash64(F.col("block_key"), F.col("id")),
-                           F.col("_nsalt").cast("long")),
-                )
-            ).alias("block_key"),
+            F.when(F.col("_nsalt").isNull(), F.col("block_key"))
+            .otherwise(salted_key).alias("block_key"),
             "id",
         )
     )

@@ -64,9 +64,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 
     Only nodes that appear in an edge are returned (singletons are added by
     the caller if desired). Pass `stats` to receive {"levels": k,
-    "driver_finish": bool} — the number of contraction levels actually run
-    (the scale-rehearsal metric: levels grow O(log diameter), so a jump
-    flags a structural change in the match graph, not just more data).
+    "mappings": m, "driver_finish": bool} — `levels` counts DISTRIBUTED
+    contraction levels only (the scale-rehearsal metric: levels grow
+    O(log diameter), so a jump flags a structural change in the match
+    graph, not just more data — comparable between driver_finish on/off
+    runs); `mappings` additionally counts the driver-finish tail mapping
+    when it ran (m == k + driver_finish).
 
     Tail handling: level 0 collapses near-clique dedup components, so the
     level-1 contracted graph is typically orders of magnitude smaller than
@@ -90,8 +93,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         .localCheckpoint()
     )
     mappings: list[DataFrame] = []
-    if stats is not None:
-        stats["driver_finish"] = False
+    used_driver_finish = False
     for level in range(max_iter):
         sc.setJobDescription(f"cc:level{level}")
         sym = cur.select(
@@ -156,12 +158,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                 list(uf.items()), schema=lab.select(
                     "node", "label").schema)
             mappings.append(fin.localCheckpoint())
-            if stats is not None:
-                stats["driver_finish"] = True
+            used_driver_finish = True
             break
         cur = nxt
     if stats is not None:
-        stats["levels"] = len(mappings)
+        stats["driver_finish"] = used_driver_finish
+        # distributed contraction levels only — the driver-finish tail is
+        # not a contraction level, so the metric stays comparable between
+        # driver_finish on/off runs
+        stats["levels"] = len(mappings) - (1 if used_driver_finish else 0)
+        stats["mappings"] = len(mappings)
     # compose coarse-to-fine: final(node) = m_k(... m_1(node)). Labels
     # absent from the coarser map (their component already terminal) pass
     # through via the left join + coalesce.

@@ -59,9 +59,12 @@ class PipelineConfig:
     checkpoints: bool = True
 
 
-def _audit_ids(sig: DataFrame) -> None:
+def _audit_ids(sig: DataFrame) -> int:
     """Fail fast on an xxhash64(url) surrogate-key collision (two distinct
-    urls, one id -> silently merged clusters).
+    urls, one id -> silently merged clusters). Returns the colliding-id
+    count (always 0 when it returns — nonzero raises); callers record it
+    so the audit's result is observable in metrics, not just by absence
+    of an exception.
 
     Single-pass form: per id, compare min/max of an INDEPENDENT second
     hash of the url (salted xxhash64 — an 8-byte buffer, so the agg stays
@@ -69,7 +72,9 @@ def _audit_ids(sig: DataFrame) -> None:
     would fall back to SortAggregate, and two exact countDistincts cost an
     Expand x2 over the corpus). An id carrying >= 2 distinct urls shows
     min != max unless the second hash collides for the same pair too
-    (P ~ 2^-64, independent of the audited hash)."""
+    (P ~ 2^-64, independent of the audited hash). ONE job either way:
+    count() the tiny post-filter agg and branch on it (the round-4 form
+    ran isEmpty() then a second count() job on failure)."""
     h2 = F.xxhash64(F.col("url"), F.lit(0x9E3779B9))
     bad = (
         sig.select("id", h2.alias("_h2"))
@@ -77,11 +82,12 @@ def _audit_ids(sig: DataFrame) -> None:
         .agg(F.min("_h2").alias("_a"), F.max("_h2").alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
     )
-    if not bad.isEmpty():
-        n = bad.count()
+    n = bad.count()
+    if n:
         raise RuntimeError(
             f"xxhash64(url) collision on {n} surrogate id(s); "
             "use a wider surrogate key")
+    return n
 
 
 def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None
@@ -246,9 +252,10 @@ class DedupPipeline:
         # fast, matching the signatures.py docstring claim. One agg over
         # the already-materialized sig (~0.1 s at 400k).
         t0 = time.monotonic()
-        _audit_ids(sig)
+        n_bad_ids = _audit_ids(sig)
         self.stage_metrics.append(
-            {"stage": "id_audit", "rows_out": 0, "run_id": self.run_id,
+            {"stage": "id_audit", "rows_out": n_bad_ids,
+             "run_id": self.run_id,
              "wall_ms": int((time.monotonic() - t0) * 1000)})
 
         roots = blocking.exact_roots(sig).localCheckpoint(eager=False)

@@ -850,7 +850,14 @@ def q_inv_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the banded LSH path (no exact-collapse) must contain EVERY
     exact-duplicate pair — identical texts share all 32 band keys. The
     query returns exact pairs that LSH found; the oracle returns all exact
-    pairs; equality <=> recall 1 on the exact tier."""
+    pairs; equality <=> recall 1 on the exact tier.
+
+    Covers CLIQUE candidate generation only (candidate_pairs default
+    star_min_block=None here): the pipeline DEFAULT uses dual-hub star
+    pruning, whose "contains every exact pair" claim holds per-CLUSTER not
+    per-pair — the shipped configuration's end-to-end labels are oracled
+    by inv_star_clusters (star mode ≡ clique mode clusters on this
+    corpus)."""
     from ..operators import blocking
     from ..operators.candidates import candidate_pairs
     from ..operators.signatures import signatures as sig_stage
@@ -879,6 +886,40 @@ SQL_INV_LSH = f"""
     WITH h AS ({_HASHED_SQL})
     SELECT a.url AS url_a, b.url AS url_b
     FROM h a JOIN h b ON a.th = b.th AND a.url < b.url
+"""
+
+
+def q_inv_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for the SHIPPED candidate configuration (dual-hub star
+    pruning, pipeline default star_min_block): the end-to-end cluster
+    labeling under star mode must be IDENTICAL to exhaustive-clique mode —
+    per url, both runs assign the same cluster_id (or both leave it
+    unclustered). Star pruning keeps, per block, every pair incident to
+    the two smallest-id hubs; transitive closure then restores any pruned
+    in-block pair, so clusters are invariant. DuckDB asserts agree=true
+    for every page from first principles; any label that star pruning
+    changes (a lost boundary pair that transitivity does not recover)
+    flips its row."""
+    from .pipeline import PipelineConfig, dedup_clusters
+
+    pages = _dpages_as_pages(spark, sf_dir)
+    star = dedup_clusters(pages, PipelineConfig(
+        use_golden_text=True, checkpoints=False)).withColumnsRenamed(
+        {"cluster_id": "_star"})
+    clique = dedup_clusters(pages, PipelineConfig(
+        use_golden_text=True, checkpoints=False,
+        star_min_block=None)).withColumnsRenamed({"cluster_id": "_clique"})
+    urls = dpages(spark, sf_dir).filter(F.col("text").isNotNull()).select("url")
+    return (
+        urls.join(star, "url", "left").join(clique, "url", "left")
+        .select("url", F.col("_star").eqNullSafe(F.col("_clique"))
+                .alias("agree"))
+    )
+
+
+SQL_INV_STAR = f"""
+    WITH dpages AS ({_DPAGES_SQL})
+    SELECT url, true AS agree FROM dpages WHERE text IS NOT NULL
 """
 
 
@@ -1110,7 +1151,11 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int = 16):
     key = (os.path.normpath(sf_dir), n_cells)
     if key not in _IVF_CODEBOOKS:
         spark.sparkContext.setJobDescription(f"ivf_train:{key[0]}")
-        _IVF_CODEBOOKS[key] = ivf_train(emb, n_cells=n_cells, iters=3)
+        # sampled training (1/4 here; 1-10% at 10^9 rows): Lloyd places
+        # centroids from a deterministic id-hash subset, cutting every
+        # training scan — the assignment pass stays full-corpus
+        _IVF_CODEBOOKS[key] = ivf_train(emb, n_cells=n_cells, iters=3,
+                                        train_sample_mod=4)
         spark.sparkContext.setJobDescription(None)
     return emb, _IVF_CODEBOOKS[key]
 
@@ -1226,6 +1271,7 @@ def catalog():
         "inv_exact_containment": q_inv_exact_containment,
         "inv_exact_labels": q_inv_exact_labels,
         "inv_lsh_recall": q_inv_lsh_recall,
+        "inv_star_clusters": q_inv_star_clusters,
         "inv_simhash_consistent": q_inv_simhash_consistent,
         "inv_fingerprint_consistent": q_inv_fingerprint_consistent,
         "inv_langid_consistent": q_inv_langid_consistent,
@@ -1267,6 +1313,7 @@ def catalog():
         "inv_exact_containment": SQL_INV_EXACT,
         "inv_exact_labels": SQL_INV_EXACT_LABELS,
         "inv_lsh_recall": SQL_INV_LSH,
+        "inv_star_clusters": SQL_INV_STAR,
         "inv_simhash_consistent": SQL_INV_EXACT,
         "inv_fingerprint_consistent": SQL_INV_EXACT,
         "inv_langid_consistent": SQL_INV_EXACT,

@@ -55,41 +55,58 @@ SIG_STATE_COLS = ["url", "host", "lang", "text_sha256", "n_chars"]
 DEFAULT_COMPACT_EVERY = 8
 
 
-def _batch_ids(state_dir: str) -> list[int]:
-    # Directory listing is driver-side os.listdir: correct on POSIX /
-    # HDFS-like mounts (this sandbox, NFS, fuse mounts). On an object store
-    # (s3a/gs) swap these two helpers for a Hadoop FileSystem.listStatus
-    # call (same contract); os.listdir has no meaning there.
-    bdir = os.path.join(state_dir, "batches")
-    if not os.path.isdir(bdir):
+def posix_lister(path: str) -> list[str]:
+    """Default directory lister: driver-side os.listdir, correct on POSIX /
+    HDFS-like mounts (this sandbox, NFS, fuse). Returns child names, [] if
+    the directory does not exist."""
+    if not os.path.isdir(path):
         return []
-    return sorted(int(f.split("=", 1)[1]) for f in os.listdir(bdir)
+    return os.listdir(path)
+
+
+def hadoop_lister(spark: SparkSession):
+    """Object-store lister: Hadoop FileSystem.listStatus via the session's
+    JVM — the swap-in for s3a/gs/abfs state dirs where os.listdir has no
+    meaning. Same contract as posix_lister (child names, [] if absent)."""
+    def _list(path: str) -> list[str]:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+    return _list
+
+
+def _batch_ids(state_dir: str, lister=posix_lister) -> list[int]:
+    return sorted(int(f.split("=", 1)[1])
+                  for f in lister(os.path.join(state_dir, "batches"))
                   if f.startswith("batch_id="))
 
 
-def _compacted_uptos(state_dir: str) -> list[int]:
-    cdir = os.path.join(state_dir, "compacted")
-    if not os.path.isdir(cdir):
-        return []
-    return sorted(int(f.split("=", 1)[1]) for f in os.listdir(cdir)
+def _compacted_uptos(state_dir: str, lister=posix_lister) -> list[int]:
+    return sorted(int(f.split("=", 1)[1])
+                  for f in lister(os.path.join(state_dir, "compacted"))
                   if f.startswith("upto="))
 
 
 def _state(spark: SparkSession, state_dir: str,
-           before_batch: int | None = None) -> DataFrame | None:
+           before_batch: int | None = None,
+           lister=posix_lister) -> DataFrame | None:
     """Accumulated signature state: newest compacted snapshot + batch dirs.
     before_batch=N excludes state written by batch N or later — the
     retry-safety contract (a snapshot only ever folds batches < any live
     batch, so snapshots never need the filter)."""
     parts: list[DataFrame] = []
-    uptos = _compacted_uptos(state_dir)
+    uptos = _compacted_uptos(state_dir, lister)
     if uptos:
         parts.append(
             spark.read.parquet(
                 os.path.join(state_dir, "compacted", f"upto={uptos[-1]}")
             ).select(*SIG_STATE_COLS, "sha_prefix")
         )
-    bids = [b for b in _batch_ids(state_dir)
+    bids = [b for b in _batch_ids(state_dir, lister)
             if before_batch is None or b < before_batch]
     if bids:
         bdir = os.path.join(state_dir, "batches")
@@ -106,28 +123,31 @@ def _state(spark: SparkSession, state_dir: str,
     return out
 
 
-def _compact(spark: SparkSession, state_dir: str, current_batch: int) -> None:
+def _compact(spark: SparkSession, state_dir: str, current_batch: int,
+             lister=posix_lister) -> None:
     """Fold committed batch dirs (< current_batch) + the previous snapshot
     into compacted/upto=<current_batch-1>, then delete what was folded.
     Idempotent: a retried fold overwrites the same upto dir; readers use
     the MAX upto snapshot so stragglers are ignored until removed."""
-    bids = [b for b in _batch_ids(state_dir) if b < current_batch]
+    bids = [b for b in _batch_ids(state_dir, lister) if b < current_batch]
     if not bids:
         return
-    folded = _state(spark, state_dir, before_batch=current_batch)
+    folded = _state(spark, state_dir, before_batch=current_batch,
+                    lister=lister)
     # self-heal: if a previous fold crashed after writing its snapshot but
-    # before deleting the folded batch dirs, the next fold reads both —
-    # dedup by url so duplicate state rows never bake into snapshots
-    # permanently (matches stay correct either way via the min(url) agg;
-    # this bounds STATE SIZE, not correctness)
-    folded = folded.dropDuplicates(["url"])
+    # before deleting the folded batch dirs, the next fold reads both.
+    # Crash duplicates are FULL-ROW identical (the same batch rows read
+    # twice), so dedup on the complete state tuple: a url legitimately
+    # re-crawled with different text keeps both (url, text_sha256) rows
+    # and future matches against either text stay correct.
+    folded = folded.dropDuplicates(SIG_STATE_COLS)
     upto = current_batch - 1
     target = os.path.join(state_dir, "compacted", f"upto={upto}")
     folded.write.partitionBy("sha_prefix").mode("overwrite").parquet(target)
     for b in bids:
         shutil.rmtree(os.path.join(state_dir, "batches", f"batch_id={b}"),
                       ignore_errors=True)
-    for u in _compacted_uptos(state_dir):
+    for u in _compacted_uptos(state_dir, lister):
         if u != upto:
             shutil.rmtree(os.path.join(state_dir, "compacted", f"upto={u}"),
                           ignore_errors=True)
@@ -136,7 +156,8 @@ def _compact(spark: SparkSession, state_dir: str, current_batch: int) -> None:
 def start_incremental_dedup(spark: SparkSession, input_dir: str,
                             state_dir: str, matches_dir: str,
                             checkpoint_dir: str, available_now: bool = True,
-                            compact_every: int = DEFAULT_COMPACT_EVERY):
+                            compact_every: int = DEFAULT_COMPACT_EVERY,
+                            lister=posix_lister):
     """Start the stream; returns the StreamingQuery (caller awaits it)."""
     stream = (
         spark.readStream.schema(PAGES)
@@ -153,7 +174,7 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
         )
         # pre-batch state only: batch_id < N excludes a failed attempt's
         # own partial writes, so retry output == first-run output
-        prev = _state(spark, state_dir, before_batch=batch_id)
+        prev = _state(spark, state_dir, before_batch=batch_id, lister=lister)
         if prev is not None:
             seen = prev.groupBy("sha_prefix", "text_sha256").agg(
                 F.min("url").alias("first_url")
@@ -173,7 +194,7 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
         sig.write.partitionBy("sha_prefix").mode("overwrite").parquet(
             os.path.join(state_dir, "batches", f"batch_id={batch_id}"))
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            _compact(spark, state_dir, current_batch=batch_id)
+            _compact(spark, state_dir, current_batch=batch_id, lister=lister)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -70,6 +70,39 @@ class TestANN:
         recall = len(e & a) / len(e)
         assert recall >= 0.5, recall
 
+    def test_ivf_sampled_training_exhaustive_equals_bruteforce(self, spark,
+                                                               emb):
+        """Sampled Lloyd training (train_sample_mod): partition
+        completeness is codebook-independent, so exhaustive probing must
+        still return the exact brute-force top-k — and the sampled
+        codebook differs from the full one (the sample actually took)."""
+        cents_s = ann.ivf_train(emb, n_cells=8, iters=2, train_sample_mod=4)
+        cents_f = ann.ivf_train(emb, n_cells=8, iters=2)
+        assert cents_s != cents_f  # the 1/4 sample really changed training
+        probes = emb.filter(F.col("vec_id") < 5)
+        exact = ann.cosine_topk(emb, probes, k=5)
+        full = ann.ivf_cosine_topk(emb, probes, cents_s, k=5, n_probe=8)
+        e = [(r.probe_id, r.neighbor_id, r.cosine, r.rank)
+             for r in exact.orderBy("probe_id", "rank").collect()]
+        f = [(r.probe_id, r.neighbor_id, r.cosine, r.rank)
+             for r in full.orderBy("probe_id", "rank").collect()]
+        assert e == f
+
+    def test_ivf_sampled_training_tiny_sample_falls_back(self, spark, emb):
+        """A sample smaller than n_cells must fall back to full-corpus
+        training (identical codebook) instead of a degenerate one."""
+        cents_tiny = ann.ivf_train(emb, n_cells=8, iters=2,
+                                   train_sample_mod=1_000_000)
+        cents_full = ann.ivf_train(emb, n_cells=8, iters=2)
+        assert cents_tiny == cents_full
+
+    def test_suggest_n_cells_sqrt_sizing(self):
+        assert ann.suggest_n_cells(0) == 1
+        assert ann.suggest_n_cells(256) == 16
+        assert ann.suggest_n_cells(10**9) == 31623 or \
+            ann.suggest_n_cells(10**9) == 31622
+        assert ann.suggest_n_cells(10**12) == 65536  # clamped
+
     def test_srp_bucket_deterministic(self, spark, emb):
         b1 = ann.srp_bucket(emb, bits=8).select("vec_id", "bucket").toPandas()
         b2 = ann.srp_bucket(emb, bits=8).select("vec_id", "bucket").toPandas()

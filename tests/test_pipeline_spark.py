@@ -293,6 +293,10 @@ def test_cc_driver_finish_equals_distributed(spark):
     assert st_p["driver_finish"] is False
     # the driver finish must have cut levels vs the pure loop
     assert st_d["levels"] <= st_p["levels"]
+    # levels counts DISTRIBUTED contraction levels only; the driver-finish
+    # tail shows up in mappings (comparable metric across on/off runs)
+    assert st_d["mappings"] == st_d["levels"] + 1
+    assert st_p["mappings"] == st_p["levels"]
 
     # chain component: one level, no O(diameter) blowup
     path = [(f"p{i:03d}", f"p{i+1:03d}") for i in range(60)]
@@ -354,6 +358,38 @@ def test_hot_key_presalt_bounds_rows_and_conserves_members(spark):
     # cold keys untouched: both cold blocks present with full member sets
     cold = {tuple(sorted(r["ids"])) for r in got if len(r["ids"]) <= 3}
     assert (1, 2, 3) in cold and (5, 6) in cold
+
+
+def test_hot_key_presalt_accepts_string_keys(spark):
+    """prune_blocks(hot_bound=...) is a generic API: a string-keyed block
+    stream (e.g. experimental band keys) must pre-salt without the long
+    coercion the pipeline's surrogate keys allow — the broadcast hot-key
+    frame reuses the stream's own key type."""
+    hot_n, max_block, hot_bound = 8_000, 32, 1_024
+    rows = ([("band:hot", i) for i in range(hot_n)]
+            + [("band:cold", 1), ("band:cold", 2)])
+    blocks = spark.createDataFrame(rows, "block_key string, id long")
+    kept, metrics = blocking.prune_blocks(blocks, max_block=max_block,
+                                          hot_bound=hot_bound)
+    got = kept.select("ids").collect()
+    assert max(len(r["ids"]) for r in got) <= 4 * max_block
+    assert sum(len(r["ids"]) for r in got) == hot_n + 2
+    assert any(r["block_size"] >= hot_bound for r in metrics.collect())
+
+
+def test_star_mode_clusters_equal_clique(spark, tiny_pages_dir):
+    """The shipped default (dual-hub star pruning) must label every url
+    exactly as exhaustive-clique mode does on the test corpus: transitive
+    closure restores any in-block pair the star pruned (the inv_star_clusters
+    oracle contract)."""
+    from dedupe_rust_spark.plans.pipeline import PipelineConfig
+
+    star = DedupPipeline(spark, tiny_pages_dir, config=PipelineConfig(
+        checkpoints=False)).run()
+    clique = DedupPipeline(spark, tiny_pages_dir, config=PipelineConfig(
+        checkpoints=False, star_min_block=None)).run()
+    assert star.exceptAll(clique).count() == 0
+    assert clique.exceptAll(star).count() == 0
 
 
 def test_blocks_salted_not_silent(spark, sig):

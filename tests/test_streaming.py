@@ -11,7 +11,8 @@ import pyarrow.parquet as pq
 from dedupe_rust_spark.datagen import _PA_PAGES, EPOCH
 from dedupe_rust_spark.functions.textcore import render_html
 from dedupe_rust_spark.streaming.incremental import (
-    _state, start_incremental_dedup,
+    _batch_ids, _compacted_uptos, _state, posix_lister,
+    start_incremental_dedup,
 )
 
 
@@ -181,3 +182,57 @@ def test_incremental_state_compaction(spark, tmp_path):
             "https://h1.example.com/a.html") in got
     assert len(got) == 3
     assert _state(spark, state_dir).count() == 6
+
+
+def test_state_listing_is_pluggable_mock_store(spark, tmp_path):
+    """The compaction contract must hold against a non-POSIX listing
+    backend (object stores have no os.listdir): drive the whole two-wave +
+    compaction flow through a recording mock lister and assert (a) every
+    directory listing went through it, (b) results are identical to the
+    POSIX run. Plus pure-dict coverage: the id parsers consume ONLY what
+    the lister returns, junk entries ignored."""
+    calls: list[str] = []
+
+    def mock_lister(path: str) -> list[str]:
+        calls.append(path)
+        return posix_lister(path)  # same data; the INDIRECTION is the test
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    doc_a = render_html("Title A", ["mock store body alpha " * 5])
+    doc_b = render_html("Title B", ["mock store body beta " * 5])
+
+    def run_wave(name, rows):
+        _write_wave(os.path.join(input_dir, name), rows)
+        q = start_incremental_dedup(spark, input_dir, state_dir,
+                                    matches_dir, ckpt, compact_every=2,
+                                    lister=mock_lister)
+        q.awaitTermination(120)
+
+    run_wave("w1.parquet", [("https://h1.example.com/a.html", doc_a),
+                            ("https://h1.example.com/b.html", doc_b)])
+    run_wave("w2.parquet", [("https://h2.example.com/a-copy.html", doc_a)])
+    run_wave("w3.parquet", [("https://h3.example.com/b-copy.html", doc_b)])
+
+    # every state listing went through the mock (batches + compacted dirs)
+    assert any(p.endswith("batches") for p in calls)
+    assert any(p.endswith("compacted") for p in calls)
+    # batch 2 compacted batches 0..1; matches identical to the POSIX flow
+    assert os.listdir(os.path.join(state_dir, "compacted")) == ["upto=1"]
+    got = {(r.url, r.first_url) for r in
+           spark.read.parquet(matches_dir).toPandas().itertuples()}
+    assert got == {("https://h2.example.com/a-copy.html",
+                    "https://h1.example.com/a.html"),
+                   ("https://h3.example.com/b-copy.html",
+                    "https://h1.example.com/b.html")}
+    assert _state(spark, state_dir, lister=mock_lister).count() == 4
+
+    # pure-dict lister: parsers read only the lister's output, skip junk
+    fake = {"/s/batches": ["batch_id=3", "batch_id=0", "_tmp", ".crc"],
+            "/s/compacted": ["upto=7", "junk"]}
+    assert _batch_ids("/s", lister=lambda p: fake.get(p, [])) == [0, 3]
+    assert _compacted_uptos("/s", lister=lambda p: fake.get(p, [])) == [7]
