@@ -120,6 +120,18 @@ def main() -> None:
         fmt(ann.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)),
     ))
 
+    # 6. SRP-banded ANN top-k (round 5: long band keys + hoisted norms)
+    sections.append((
+        "SRP-banded ANN top-k (long band keys, per-vector norm hoist)",
+        "The banded join key `block_key` is LongType — xxhash64(table, "
+        "bucket), mirroring the text path's 8-byte band keys; no varchar "
+        "keys ride the shuffle. The O(dim) norm folds appear ONLY in the "
+        "per-vector projections (cn/pn attached before the pair join); "
+        "the per-pair expression is dot / (pn * cn) — a neighbor "
+        "colliding with many probes folds its norm once.",
+        fmt(ann.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)),
+    ))
+
     out = ["# Physical plans of record",
            "",
            "Generated by tools/dump_plans.py — rerun after planner-visible",
