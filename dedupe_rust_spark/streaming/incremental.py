@@ -11,9 +11,26 @@ Design: Structured Streaming file source -> foreachBatch. Each micro-batch
   2. joins the batch's text_sha256 against the persistent signature state
      (parquet dir; Iceberg table on a real cluster) to emit match edges
      (new_url -> first seen url with identical text),
-  3. writes the batch signatures into the state.
+  3. [fuzzy=True] additionally joins the batch's LSH band keys against
+     the state's band keys and scores the candidate pairs with the SAME
+     estimate-split decision as the batch pipeline (MinHash-Jaccard fast
+     path; exact-refinement scorer UDF in the decision band) — near-dup
+     matches against anything already seen, not just byte-identical,
+  4. writes the batch signatures into the state.
 foreachBatch (not a stateful operator) because the state table must be
 shared with the batch pipeline and survive restarts.
+
+Fuzzy-tier scale shape: the state never shuffles — the (small) batch's
+band stream is broadcast and the state streams past it; candidate pairs
+(not the corpus) carry minhash/text into scoring. Per-batch cost is one
+O(state) scan, same as the exact sha join. At 10^12-doc scale the state
+would be stored ALREADY EXPLODED as a band-key-partitioned index table
+so the band join prunes to the batch's key partitions instead of
+scanning; and the url payloads would ride as 8-byte surrogate ids (the
+batch pipeline's trick) — same dataflow, noted not implemented since
+micro-batches here are tiny. Like the exact tier, fuzzy matches are
+found against PRE-batch state only (within-batch pairs surface when
+either url recurs, or through the batch pipeline over the full corpus).
 
 Delivery semantics: both sinks are written as `batch_id=N` partition
 directories with mode("overwrite") scoped to that directory — a micro-batch
@@ -52,6 +69,11 @@ from ..schemas import PAGES
 from ..sources.pages import clean_pages
 
 SIG_STATE_COLS = ["url", "host", "lang", "text_sha256", "n_chars"]
+# fuzzy tier state additionally carries the LSH band keys (32 longs), the
+# MinHash rows (estimate scoring) and the text (exact refinement in the
+# decision band) — i.e. the state IS the signatures table, exactly what
+# the batch pipeline checkpoints
+FUZZY_STATE_COLS = SIG_STATE_COLS + ["bands", "minhash", "text"]
 DEFAULT_COMPACT_EVERY = 8
 
 
@@ -93,18 +115,22 @@ def _compacted_uptos(state_dir: str, lister=posix_lister) -> list[int]:
 
 def _state(spark: SparkSession, state_dir: str,
            before_batch: int | None = None,
-           lister=posix_lister) -> DataFrame | None:
+           lister=posix_lister,
+           cols: list[str] = SIG_STATE_COLS) -> DataFrame | None:
     """Accumulated signature state: newest compacted snapshot + batch dirs.
     before_batch=N excludes state written by batch N or later — the
     retry-safety contract (a snapshot only ever folds batches < any live
-    batch, so snapshots never need the filter)."""
+    batch, so snapshots never need the filter). `cols` selects the stored
+    state schema (SIG_STATE_COLS for exact-only streams, FUZZY_STATE_COLS
+    for fuzzy ones — a state dir belongs to one mode, set at stream
+    start)."""
     parts: list[DataFrame] = []
     uptos = _compacted_uptos(state_dir, lister)
     if uptos:
         parts.append(
             spark.read.parquet(
                 os.path.join(state_dir, "compacted", f"upto={uptos[-1]}")
-            ).select(*SIG_STATE_COLS, "sha_prefix")
+            ).select(*cols, "sha_prefix")
         )
     bids = [b for b in _batch_ids(state_dir, lister)
             if before_batch is None or b < before_batch]
@@ -113,7 +139,7 @@ def _state(spark: SparkSession, state_dir: str,
         parts.append(
             spark.read.option("basePath", bdir).parquet(
                 *[os.path.join(bdir, f"batch_id={b}") for b in bids]
-            ).select(*SIG_STATE_COLS, "sha_prefix")
+            ).select(*cols, "sha_prefix")
         )
     if not parts:
         return None
@@ -124,7 +150,8 @@ def _state(spark: SparkSession, state_dir: str,
 
 
 def _compact(spark: SparkSession, state_dir: str, current_batch: int,
-             lister=posix_lister) -> None:
+             lister=posix_lister,
+             cols: list[str] = SIG_STATE_COLS) -> None:
     """Fold committed batch dirs (< current_batch) + the previous snapshot
     into compacted/upto=<current_batch-1>, then delete what was folded.
     Idempotent: a retried fold overwrites the same upto dir; readers use
@@ -133,7 +160,7 @@ def _compact(spark: SparkSession, state_dir: str, current_batch: int,
     if not bids:
         return
     folded = _state(spark, state_dir, before_batch=current_batch,
-                    lister=lister)
+                    lister=lister, cols=cols)
     # self-heal: if a previous fold crashed after writing its snapshot but
     # before deleting the folded batch dirs, the next fold reads both.
     # Crash duplicates are FULL-ROW identical (the same batch rows read
@@ -153,37 +180,139 @@ def _compact(spark: SparkSession, state_dir: str, current_batch: int,
                           ignore_errors=True)
 
 
+def _fuzzy_matches(sig: DataFrame, prev: DataFrame,
+                   lev_match: float, jaccard_match: float) -> DataFrame:
+    """Near-dup matches of the batch against pre-batch state:
+    (url, matched_url, score) — the best-scoring state match per new url,
+    deterministic (ties break to the lexicographically smallest url).
+
+    Dataflow mirrors the batch pipeline's candidate/scoring stages,
+    url-keyed (micro-batches are small; the surrogate-id trick is not
+    worth a join here): LSH band-key equi-join (batch band stream
+    broadcast, state streams past it — the state never shuffles), then
+    the estimate-split decision: MinHash-Jaccard >= fast_cut accepts with
+    no text work; the decision band runs the exact-refinement scorer UDF
+    on the pair texts; is_match = lev >= lev_match OR jaccard >=
+    jaccard_match, identical to operators/scoring.py."""
+    from ..functions.udfs import make_score_pairs_udf, refine_bounds
+    from ..operators.scoring import minhash_jaccard_expr
+
+    nb = sig.select("url", F.posexplode("bands").alias("_b", "_h")).select(
+        F.xxhash64("_b", "_h").alias("block_key"), "url")
+    ob = prev.select(F.col("url").alias("matched_url"),
+                     F.posexplode("bands").alias("_b", "_h")).select(
+        F.xxhash64("_b", "_h").alias("block_key"), "matched_url")
+    cand = (
+        ob.join(F.broadcast(nb), "block_key")
+        .filter(F.col("url") != F.col("matched_url"))
+        .select("url", "matched_url")
+        .distinct()
+    )
+    est = (
+        cand
+        .join(F.broadcast(sig.select("url", "minhash", "text")), "url")
+        .join(prev.select(F.col("url").alias("matched_url"),
+                          F.col("minhash").alias("_mo"),
+                          F.col("text").alias("_to")), "matched_url")
+        .withColumn("jacc_est",
+                    minhash_jaccard_expr(F.col("minhash"), F.col("_mo")))
+    )
+    refine_lo, refine_hi = refine_bounds(jaccard_match)
+    fast_cut = max(refine_hi, jaccard_match)
+    fast = est.filter(F.col("jacc_est") >= fast_cut).select(
+        "url", "matched_url", F.col("jacc_est").alias("score"))
+    scorer = make_score_pairs_udf(refine_lo, refine_hi, compute_jw=False)
+    slow = (
+        est.filter((F.col("jacc_est") < fast_cut)
+                   | F.col("jacc_est").isNull())
+        .withColumn("_s", scorer(F.col("text"), F.col("_to"),
+                                 F.col("jacc_est")))
+        .filter((F.col("_s.lev_sim") >= lev_match)
+                | (F.col("_s.jaccard") >= jaccard_match))
+        .select("url", "matched_url",
+                F.greatest("_s.lev_sim", "_s.jaccard").alias("score"))
+    )
+    # best match per new url: max score, then min matched_url — one hash
+    # agg over a struct (no window sort)
+    return (
+        fast.unionByName(slow)
+        .groupBy("url")
+        .agg(F.min(F.struct((-F.col("score")).alias("_ns"),
+                            F.col("matched_url").alias("_mu"))).alias("_b"))
+        .select("url", F.col("_b._mu").alias("matched_url"),
+                (-F.col("_b._ns")).alias("score"))
+    )
+
+
 def start_incremental_dedup(spark: SparkSession, input_dir: str,
                             state_dir: str, matches_dir: str,
                             checkpoint_dir: str, available_now: bool = True,
                             compact_every: int = DEFAULT_COMPACT_EVERY,
-                            lister=posix_lister):
-    """Start the stream; returns the StreamingQuery (caller awaits it)."""
+                            lister=posix_lister, fuzzy: bool = False,
+                            lev_match: float | None = None,
+                            jaccard_match: float | None = None):
+    """Start the stream; returns the StreamingQuery (caller awaits it).
+
+    fuzzy=False (default): exact-dup matching only; matches rows are
+    (url, first_url, text_sha256) — the original contract. fuzzy=True:
+    state carries bands/minhash/text (FUZZY_STATE_COLS; a state dir
+    belongs to one mode) and matches rows are (url, matched_url, kind,
+    score) with kind in {'exact', 'fuzzy'} — exact matches keep their
+    sha-join semantics (score 1.0) and near-dups are scored with the
+    batch pipeline's thresholds (overridable via lev_match /
+    jaccard_match)."""
     stream = (
         spark.readStream.schema(PAGES)
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
 
+    from ..operators.scoring import JACCARD_MATCH, LEV_MATCH
+
+    state_cols = FUZZY_STATE_COLS if fuzzy else SIG_STATE_COLS
+    lev = LEV_MATCH if lev_match is None else lev_match
+    jacc = JACCARD_MATCH if jaccard_match is None else jaccard_match
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sig = (
             signatures(extract(clean_pages(batch_df)))
-            .select(*SIG_STATE_COLS)
+            .select(*state_cols)
             .withColumn("sha_prefix", F.substring("text_sha256", 1, 1))
             .localCheckpoint()  # batch_df is single-use; state join re-reads
         )
         # pre-batch state only: batch_id < N excludes a failed attempt's
         # own partial writes, so retry output == first-run output
-        prev = _state(spark, state_dir, before_batch=batch_id, lister=lister)
+        prev = _state(spark, state_dir, before_batch=batch_id, lister=lister,
+                      cols=state_cols)
         if prev is not None:
             seen = prev.groupBy("sha_prefix", "text_sha256").agg(
                 F.min("url").alias("first_url")
             )
-            matches = (
+            exact = (
                 sig.join(seen, ["sha_prefix", "text_sha256"])
                 .filter(F.col("url") != F.col("first_url"))
                 .select("url", "first_url", "text_sha256")
             )
+            if fuzzy:
+                # near-dup tier: urls already exact-matched are settled
+                # (score 1.0 beats any fuzzy score); the rest run the
+                # band join + estimate-split scorer against state
+                fz = _fuzzy_matches(
+                    sig.join(exact.select("url"), "url", "left_anti"),
+                    prev, lev, jacc)
+                matches = exact.select(
+                    "url", F.col("first_url").alias("matched_url"),
+                    F.lit("exact").alias("kind"),
+                    F.lit(1.0).alias("score"),
+                ).unionByName(fz.select(
+                    "url", "matched_url", F.lit("fuzzy").alias("kind"),
+                    F.col("score").cast("double")))
+            else:
+                matches = exact
+        elif fuzzy:
+            matches = spark.createDataFrame(
+                [], "url string, matched_url string, kind string, "
+                    "score double")
         else:
             matches = spark.createDataFrame(
                 [], "url string, first_url string, text_sha256 string"
@@ -194,7 +323,8 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
         sig.write.partitionBy("sha_prefix").mode("overwrite").parquet(
             os.path.join(state_dir, "batches", f"batch_id={batch_id}"))
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            _compact(spark, state_dir, current_batch=batch_id, lister=lister)
+            _compact(spark, state_dir, current_batch=batch_id, lister=lister,
+                     cols=state_cols)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -236,3 +236,72 @@ def test_state_listing_is_pluggable_mock_store(spark, tmp_path):
             "/s/compacted": ["upto=7", "junk"]}
     assert _batch_ids("/s", lister=lambda p: fake.get(p, [])) == [0, 3]
     assert _compacted_uptos("/s", lister=lambda p: fake.get(p, [])) == [7]
+
+
+def test_incremental_fuzzy_dedup(spark, tmp_path):
+    """fuzzy=True: a near-duplicate of an already-seen page (a few words
+    edited) must be flagged with kind='fuzzy' and a score that clears the
+    batch pipeline's threshold; an exact copy stays kind='exact' (score
+    1.0, sha semantics); an unrelated page matches nothing. State carries
+    the fuzzy columns and compaction folds them intact."""
+    from dedupe_rust_spark.streaming.incremental import FUZZY_STATE_COLS
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    base_words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa lambda mu nu xi omicron pi rho sigma tau "
+                  "upsilon phi chi psi omega ").split()
+    body = " ".join(base_words * 8)                      # 192 words
+    near_words = list(base_words * 8)
+    near_words[5], near_words[50], near_words[100] = "edited", "words", "here"
+    near_body = " ".join(near_words)                     # ~98% similar
+    doc_x = render_html("Original Doc", [body])
+    doc_near = render_html("Original Doc", [near_body])
+    doc_other = render_html("Unrelated", ["totally different content " * 10])
+
+    def run_wave(name, rows):
+        _write_wave(os.path.join(input_dir, name), rows)
+        q = start_incremental_dedup(spark, input_dir, state_dir,
+                                    matches_dir, ckpt, compact_every=2,
+                                    fuzzy=True)
+        q.awaitTermination(120)
+
+    run_wave("w1.parquet", [("https://h1.example.com/x.html", doc_x)])
+    run_wave("w2.parquet", [
+        ("https://h2.example.com/x-copy.html", doc_x),       # exact
+        ("https://h2.example.com/x-near.html", doc_near),    # fuzzy
+        ("https://h2.example.com/other.html", doc_other),    # none
+    ])
+
+    m = spark.read.parquet(matches_dir).toPandas()
+    got = {(r.url, r.matched_url, r.kind) for r in m.itertuples()}
+    assert got == {
+        ("https://h2.example.com/x-copy.html",
+         "https://h1.example.com/x.html", "exact"),
+        ("https://h2.example.com/x-near.html",
+         "https://h1.example.com/x.html", "fuzzy"),
+    }
+    fz = m[m.kind == "fuzzy"].iloc[0]
+    assert fz["score"] >= 0.5
+    assert m[m.kind == "exact"].iloc[0]["score"] == 1.0
+
+    # state carries the fuzzy columns; wave 3 (after the compaction
+    # triggered by batch 2) still fuzzy-matches against folded state
+    state = _state(spark, state_dir, cols=FUZZY_STATE_COLS)
+    assert state.count() == 4
+    assert {"bands", "minhash", "text"} <= set(state.columns)
+
+    run_wave("w3.parquet",
+             [("https://h3.example.com/x-near2.html", doc_near)])
+    m2 = spark.read.parquet(matches_dir).toPandas()
+    row = m2[m2.url == "https://h3.example.com/x-near2.html"]
+    assert len(row) == 1
+    # best match is the exact copy of itself in state (score 1-ish beats
+    # the original's near score); kind is fuzzy (sha differs from nothing
+    # only if identical -- x-near IS byte-identical to x-near2)
+    assert row.iloc[0]["kind"] == "exact"
+    assert row.iloc[0]["matched_url"] == "https://h2.example.com/x-near.html"
