@@ -2,7 +2,7 @@
 
 entry(spark)   — flagship exact-dup cluster query at sf0.001.
 queries()      — catalog of implemented operators (SURVEY.md §2 ids in names).
-oracle_sql()   — DuckDB twins: 34 of 40 queries are value-oracled, including
+oracle_sql()   — DuckDB twins: 35 of 41 queries are value-oracled, including
                  hard invariants for the non-SQL tiers (pipeline exact-
                  containment AND cluster-label values, LSH recall, the
                  shipped star-pruning config's label equality vs clique

@@ -289,6 +289,89 @@ SQL_NGRAM = f"""
 """
 
 
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (threshold 0.5) via an
+    inverted shingle index — the set-similarity dedup family computed
+    exactly, where the fuzzy pipeline uses MinHash ESTIMATES of the same
+    quantity: (url_a, url_b, jacc). Both engines compute the true value
+    from first principles, so the DuckDB twin is a hard equality oracle
+    on the pair set AND the scores.
+
+    Scale shape: the inverted-index equi self-join on shingle pairs up
+    only pages that share a shingle (never a cross join), then one
+    count agg per pair + a size join — the textbook exact set-similarity
+    join. At 10^12 docs you add prefix filtering (only the rarest
+    ceil((1-t)/t * |set|)+1 shingles per set need indexing) and/or run
+    it behind LSH blocking, which is exactly what the production
+    pipeline does; this query is the exact-arithmetic anchor."""
+    tri = (
+        dpages(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("url", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "url",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(" ", F.col("w")[i],
+                                          F.col("w")[i + 1],
+                                          F.col("w")[i + 2]),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = tri.groupBy("url").agg(F.count("*").alias("n"))
+    a, b = tri.alias("a"), tri.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .groupBy(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"url": "url_a", "n": "na"}), "url_a")
+        .join(sizes.withColumnsRenamed({"url": "url_b", "n": "nb"}), "url_b")
+        .withColumn("jacc", F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 4))
+        .filter(F.col("jacc") >= 0.5)
+        .select("url_a", "url_b", "jacc")
+    )
+
+
+SQL_NGRAM_JACC = f"""
+    WITH dpages AS ({_DPAGES_SQL}),
+    toks AS (
+      SELECT url, string_split_regex(trim(text), '\\s+') AS w
+      FROM dpages WHERE text IS NOT NULL
+    ),
+    idx AS (
+      SELECT url, w, unnest(range(1, len(w) - 1)) AS i
+      FROM toks WHERE len(w) >= 3
+    ),
+    tri AS (
+      SELECT DISTINCT url, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT url, count(*) AS n FROM tri GROUP BY url),
+    inter AS (
+      SELECT a.url AS url_a, b.url AS url_b, count(*) AS i
+      FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.url < b.url
+      GROUP BY a.url, b.url
+    )
+    SELECT url_a, url_b,
+           round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4)
+           AS jacc
+    FROM inter
+    JOIN sizes sa ON sa.url = url_a
+    JOIN sizes sb ON sb.url = url_b
+    WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) >= 0.5
+"""
+
+
 def q_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis ops: whitespace token count + length-based quality
     band per page (built-in expressions only)."""
@@ -1261,6 +1344,7 @@ def catalog():
         "b1_candidate_pairs": q_b1_candidate_pairs,
         "o3_summary": q_o3_summary,
         "ngram_shingles": q_ngram_shingles,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "tokens_quality": q_tokens_quality,
         "emb_label_census": q_emb_label_census,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1303,6 +1387,7 @@ def catalog():
         "b1_candidate_pairs": SQL_B1,
         "o3_summary": SQL_O3,
         "ngram_shingles": SQL_NGRAM,
+        "ngram_jaccard_dups": SQL_NGRAM_JACC,
         "tokens_quality": SQL_TOKENS,
         "emb_label_census": SQL_EMB_CENSUS,
         "lineitem_pricing": SQL_LINEITEM,
