@@ -2,15 +2,16 @@
 
 entry(spark)   — flagship exact-dup cluster query at sf0.001.
 queries()      — catalog of implemented operators (SURVEY.md §2 ids in names).
-oracle_sql()   — DuckDB twins: 35 of 41 queries are value-oracled, including
+oracle_sql()   — DuckDB twins: 36 of 43 queries are value-oracled, including
                  hard invariants for the non-SQL tiers (pipeline exact-
                  containment AND cluster-label values, LSH recall, the
                  shipped star-pruning config's label equality vs clique
-                 mode, tie-proof ANN/IVF top-k recall, langid accuracy,
-                 fingerprint values). The 6 rows-only entries (banded
-                 candidates, simhash values, full pipeline clusters, the
-                 three ANN top-k operating points) are each covered by a
-                 green invariant twin or pytest oracle.
+                 mode, simhash-dup recall, exact n-gram-Jaccard pair
+                 scores, tie-proof ANN/IVF top-k recall, langid accuracy,
+                 fingerprint values). The 7 rows-only entries (banded
+                 candidates, simhash values + pairs, full pipeline
+                 clusters, the three ANN top-k operating points) are each
+                 covered by a green invariant twin or pytest oracle.
 """
 
 from __future__ import annotations

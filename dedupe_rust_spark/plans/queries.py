@@ -1310,6 +1310,85 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_DUP_HAMMING = 3  # 4 x 16-bit bands give a pigeonhole GUARANTEE
+# for hamming <= 3: <=3 flipped bits cannot touch all 4 chunks
+
+
+def _simhash_band_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(url_a, url_b, hamming) candidate pairs via 16-bit simhash chunk
+    blocking + exact bit_count(xor) verify — all built-in expressions."""
+    bands = sig.select(
+        "url", "simhash",
+        F.explode(F.array(*[
+            F.xxhash64(F.lit(i),
+                       F.shiftrightunsigned("simhash", 16 * i)
+                       .bitwiseAND(F.lit(0xFFFF)))
+            for i in range(4)
+        ])).alias("block_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(
+                    F.col("b.simhash"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3): the bit-sampling dedup
+    family as a first-class query. Blocking is the classic pigeonhole
+    scheme — 4 disjoint 16-bit chunks of the 64-bit simhash; any pair
+    within hamming 3 shares at least one untouched chunk, so the chunk
+    equi-join has recall EXACTLY 1 at this radius (no probabilistic
+    amplification needed); candidates verify with bit_count(xor), all
+    in codegen. Rows-only (simhash values come from the signature UDF);
+    twin invariants: inv_simhash_consistent (identical text => identical
+    hash) and inv_simhash_recall (exact-dup pairs all surface here,
+    value-oracled vs the SQL exact-pair set).
+
+    Scale shape: 4 band rows per doc, equi-join on 8-byte keys; at
+    10^12 docs each 16-bit chunk key is hot by construction (2^16
+    buckets), so production would widen chunks (6x21-bit for hamming<=5
+    over 128-bit hashes) or pre-collapse exact dups like the pipeline
+    does — noted, not needed at catalog scale."""
+    from ..functions.udfs import signatures_udf
+
+    sig = (dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+           .withColumn("sig", signatures_udf(F.col("text")))
+           .select("url", F.col("sig.simhash").alias("simhash"))
+           .localCheckpoint(eager=False))
+    return _simhash_band_pairs(sig, SIMHASH_DUP_HAMMING)
+
+
+def q_inv_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD ORACLE for the simhash-dup pair surface: identical texts have
+    identical simhashes (hamming 0 — inv_simhash_consistent pins this),
+    so EVERY exact-duplicate pair must appear in q_simhash_dups'
+    candidates. Returns exact pairs found by the simhash path; oracle =
+    all exact pairs; equality <=> recall 1 on the exact tier."""
+    from ..functions.udfs import signatures_udf
+
+    h = _hashed(spark, sf_dir)
+    sig = (h.withColumn("sig", signatures_udf(F.col("text")))
+           .select("url", "th", F.col("sig.simhash").alias("simhash"))
+           .localCheckpoint(eager=False))
+    cands = _simhash_band_pairs(sig.select("url", "simhash"),
+                                SIMHASH_DUP_HAMMING)
+    s = sig.select("url", "th")
+    a, b = s.alias("a"), s.alias("b")
+    exact_pairs = (
+        a.join(b, "th")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
+    return exact_pairs.join(cands.select("url_a", "url_b"),
+                            ["url_a", "url_b"])
+
+
 def q_full_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the complete blocking->scoring->CC pipeline on the
     synthetic labeled pages table for this sf_dir."""
@@ -1351,12 +1430,14 @@ def catalog():
         "order_customer_join": q_order_customer_join,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_signatures": q_simhash_signatures,
+        "simhash_dups": q_simhash_dups,
         "full_dedup_clusters": q_full_dedup_clusters,
         "inv_exact_containment": q_inv_exact_containment,
         "inv_exact_labels": q_inv_exact_labels,
         "inv_lsh_recall": q_inv_lsh_recall,
         "inv_star_clusters": q_inv_star_clusters,
         "inv_simhash_consistent": q_inv_simhash_consistent,
+        "inv_simhash_recall": q_inv_simhash_recall,
         "inv_fingerprint_consistent": q_inv_fingerprint_consistent,
         "inv_langid_consistent": q_inv_langid_consistent,
         "inv_ann_recall": q_inv_ann_recall,
@@ -1400,6 +1481,7 @@ def catalog():
         "inv_lsh_recall": SQL_INV_LSH,
         "inv_star_clusters": SQL_INV_STAR,
         "inv_simhash_consistent": SQL_INV_EXACT,
+        "inv_simhash_recall": SQL_INV_LSH,
         "inv_fingerprint_consistent": SQL_INV_EXACT,
         "inv_langid_consistent": SQL_INV_EXACT,
         "inv_ann_recall": SQL_INV_ANN,
