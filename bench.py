@@ -203,6 +203,9 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-3 additions, tracked from round 4 on (r3 walls seeded as
         # the baseline in BENCH/BASELINE.md)
         "ivf_cosine_topk", "lsh_emb_dups", "emb_dup_clusters",
+        # round-5 additions (exact n-gram Jaccard pairs; pigeonhole
+        # simhash pairs) — totals grow by their first-measurement walls
+        "ngram_jaccard_dups", "simhash_dups",
     ]
     out: dict[str, float] = {}
     for name in names:

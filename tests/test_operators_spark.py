@@ -259,3 +259,41 @@ class TestTextOps:
         got = textops.fingerprints(df).toPandas().set_index("id")["fingerprint"]
         for i, t in enumerate(texts):
             assert got[str(i)] == fingerprint(t), (i, len(t))
+
+
+def test_simhash_band_pairs_pigeonhole_exact(spark):
+    """4x16-bit chunk blocking must find EXACTLY the pairs within the
+    hamming radius it guarantees (<=3): compare against a brute-force
+    O(n^2) hamming computation on constructed 64-bit values, including
+    adversarial pairs at hamming 3 spread across 3 different chunks and
+    just-miss pairs at hamming 4 across all 4 chunks."""
+    from itertools import combinations
+
+    from dedupe_rust_spark.plans.queries import (
+        SIMHASH_DUP_HAMMING, _simhash_band_pairs,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    vals = {
+        "u00": base,
+        "u01": base ^ 0x1,                      # hamming 1 (chunk 0)
+        "u02": base ^ (1 << 16) ^ (1 << 32) ^ (1 << 48),  # h3, 3 chunks
+        "u03": base ^ 0x3,                      # hamming 2
+        "u04": base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48),  # h4
+        "u05": 0x7FFF_FFFF_FFFF_FFFF,           # far away
+        "u06": base,                            # identical (hamming 0)
+    }
+    sig = spark.createDataFrame(
+        [(u, v - (1 << 64) if v >= (1 << 63) else v)
+         for u, v in vals.items()], "url string, simhash long")
+    got = {(r.url_a, r.url_b, r.hamming)
+           for r in _simhash_band_pairs(sig, SIMHASH_DUP_HAMMING).collect()}
+    expect = set()
+    for (ua, va), (ub, vb) in combinations(sorted(vals.items()), 2):
+        h = bin(va ^ vb).count("1")
+        if h <= SIMHASH_DUP_HAMMING:
+            expect.add((ua, ub, h))
+    assert got == expect
+    # sanity: the fixture exercises both sides of the radius
+    assert ("u00", "u02", 3) in expect and ("u00", "u06", 0) in expect
+    assert not any(a == "u00" and b == "u04" for a, b, _ in got)
