@@ -94,6 +94,33 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     )
     mappings: list[DataFrame] = []
     used_driver_finish = False
+    # entry short-circuit, same bound as the mid-loop tail: a graph that
+    # ALREADY fits the driver-finish budget gains nothing from a
+    # distributed level — each level is ~8 driver-synchronized jobs whose
+    # barrier latency dwarfs the work on a sub-100k-edge graph (the
+    # embedding-cluster and small-corpus paths). The count reads the
+    # just-materialized checkpoint (cheap); at pipeline scale the count
+    # exceeds the bound and the loop proceeds unchanged.
+    if driver_finish_edges > 0:
+        n_edges = cur.count()
+        if stats is not None:
+            stats["input_edges"] = n_edges
+        if 0 < n_edges <= driver_finish_edges:
+            from ..functions.ccore import connected_components as uf_cc
+
+            sc.setJobDescription("cc:driver_finish")
+            uf = uf_cc([(r["src"], r["dst"]) for r in cur.collect()])
+            fin = edges.sparkSession.createDataFrame(
+                list(uf.items()),
+                schema=cur.select(
+                    F.col("src").alias("node"),
+                    F.col("dst").alias("label")).schema)
+            sc.setJobDescription(None)
+            if stats is not None:
+                stats["driver_finish"] = True
+                stats["levels"] = 0
+                stats["mappings"] = 1
+            return fin.select("node", F.col("label").alias("cluster_id"))
     for level in range(max_iter):
         sc.setJobDescription(f"cc:level{level}")
         sym = cur.select(

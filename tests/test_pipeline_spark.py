@@ -283,18 +283,26 @@ def test_cc_driver_finish_equals_distributed(spark):
                                       for _ in range(100)) if a != b})
     expect = uf_cc(edges_list)
     edges = spark.createDataFrame(edges_list, "src string, dst string")
-    st_d, st_p = {}, {}
+    st_e, st_d, st_p = {}, {}, {}
+    # entry short-circuit: the whole graph fits the driver budget
+    entry = {r.node: r.cluster_id for r in cluster.connected_components(
+        edges, stats=st_e, driver_finish_edges=1000).collect()}
+    # mid-loop tail: initial graph exceeds the budget, the contracted
+    # one does not
     with_finish = {r.node: r.cluster_id for r in cluster.connected_components(
-        edges, stats=st_d, driver_finish_edges=1000).collect()}
+        edges, stats=st_d, driver_finish_edges=len(edges_list) - 1).collect()}
     pure = {r.node: r.cluster_id for r in cluster.connected_components(
         edges, stats=st_p, driver_finish_edges=0).collect()}
-    assert with_finish == expect == pure
-    assert st_d["driver_finish"] is True
+    assert entry == with_finish == expect == pure
+    assert st_e["driver_finish"] is True and st_e["levels"] == 0
+    assert st_e["input_edges"] == len(edges_list)
+    assert st_d["driver_finish"] is True and st_d["levels"] >= 1
     assert st_p["driver_finish"] is False
     # the driver finish must have cut levels vs the pure loop
     assert st_d["levels"] <= st_p["levels"]
     # levels counts DISTRIBUTED contraction levels only; the driver-finish
     # tail shows up in mappings (comparable metric across on/off runs)
+    assert st_e["mappings"] == 1
     assert st_d["mappings"] == st_d["levels"] + 1
     assert st_p["mappings"] == st_p["levels"]
 
