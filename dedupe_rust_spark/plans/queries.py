@@ -330,14 +330,17 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
         .agg(F.count("*").alias("inter"))
     )
+    # threshold in INTEGER arithmetic: jacc = i/u >= 0.5 <=> 2i >= u where
+    # u = na+nb-i — no floating-point boundary for the two engines to
+    # disagree on; the double jacc is computed only for display
     return (
         inter
         .join(sizes.withColumnsRenamed({"url": "url_a", "n": "na"}), "url_a")
         .join(sizes.withColumnsRenamed({"url": "url_b", "n": "nb"}), "url_b")
+        .filter(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn("jacc", F.round(
             F.col("inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 4))
-        .filter(F.col("jacc") >= 0.5)
         .select("url_a", "url_b", "jacc")
     )
 
@@ -368,7 +371,7 @@ SQL_NGRAM_JACC = f"""
     FROM inter
     JOIN sizes sa ON sa.url = url_a
     JOIN sizes sb ON sb.url = url_b
-    WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) >= 0.5
+    WHERE 2 * i >= sa.n + sb.n - i
 """
 
 

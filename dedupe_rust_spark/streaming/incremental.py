@@ -101,6 +101,28 @@ def hadoop_lister(spark: SparkSession):
     return _list
 
 
+def posix_remover(path: str) -> None:
+    """Default recursive directory remover (compaction cleanup). Pair of
+    posix_lister: shutil has no meaning on object stores."""
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def hadoop_remover(spark: SparkSession):
+    """Object-store remover: Hadoop FileSystem.delete(recursive) — the
+    swap-in beside hadoop_lister; without it compaction on s3a/gs would
+    write snapshots but silently never delete the folded batch dirs
+    (shutil.rmtree no-ops there), so state reads would double-count and
+    the dir would grow without bound."""
+    def _rm(path: str) -> None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    return _rm
+
+
 def _batch_ids(state_dir: str, lister=posix_lister) -> list[int]:
     return sorted(int(f.split("=", 1)[1])
                   for f in lister(os.path.join(state_dir, "batches"))
@@ -150,7 +172,7 @@ def _state(spark: SparkSession, state_dir: str,
 
 
 def _compact(spark: SparkSession, state_dir: str, current_batch: int,
-             lister=posix_lister,
+             lister=posix_lister, remover=posix_remover,
              cols: list[str] = SIG_STATE_COLS) -> None:
     """Fold committed batch dirs (< current_batch) + the previous snapshot
     into compacted/upto=<current_batch-1>, then delete what was folded.
@@ -172,12 +194,10 @@ def _compact(spark: SparkSession, state_dir: str, current_batch: int,
     target = os.path.join(state_dir, "compacted", f"upto={upto}")
     folded.write.partitionBy("sha_prefix").mode("overwrite").parquet(target)
     for b in bids:
-        shutil.rmtree(os.path.join(state_dir, "batches", f"batch_id={b}"),
-                      ignore_errors=True)
+        remover(os.path.join(state_dir, "batches", f"batch_id={b}"))
     for u in _compacted_uptos(state_dir, lister):
         if u != upto:
-            shutil.rmtree(os.path.join(state_dir, "compacted", f"upto={u}"),
-                          ignore_errors=True)
+            remover(os.path.join(state_dir, "compacted", f"upto={u}"))
 
 
 def _fuzzy_matches(sig: DataFrame, prev: DataFrame,
@@ -186,16 +206,17 @@ def _fuzzy_matches(sig: DataFrame, prev: DataFrame,
     (url, matched_url, score) — the best-scoring state match per new url,
     deterministic (ties break to the lexicographically smallest url).
 
-    Dataflow mirrors the batch pipeline's candidate/scoring stages,
-    url-keyed (micro-batches are small; the surrogate-id trick is not
-    worth a join here): LSH band-key equi-join (batch band stream
-    broadcast, state streams past it — the state never shuffles), then
-    the estimate-split decision: MinHash-Jaccard >= fast_cut accepts with
-    no text work; the decision band runs the exact-refinement scorer UDF
-    on the pair texts; is_match = lev >= lev_match OR jaccard >=
-    jaccard_match, identical to operators/scoring.py."""
-    from ..functions.udfs import make_score_pairs_udf, refine_bounds
-    from ..operators.scoring import minhash_jaccard_expr
+    Candidate generation mirrors the batch pipeline's banding: LSH
+    band-key equi-join, batch band stream broadcast so the state streams
+    past it. The DECISION is not mirrored but REUSED — candidate pairs
+    are fed through scoring.attach_estimates + score_estimated over a
+    two-namespace url-keyed signature table ("n:"/"o:" prefixes keep a
+    re-crawled url's batch row distinct from its state row), so the
+    estimate fast path, refinement band, and lev-OR-jaccard rule are the
+    batch pipeline's own code, not a copy that could drift. Pair-side
+    joins inside the shared code resolve to broadcasts at runtime via
+    AQE (candidates are micro-batch-sized; session.py enables AQE)."""
+    from ..operators import scoring
 
     nb = sig.select("url", F.posexplode("bands").alias("_b", "_h")).select(
         F.xxhash64("_b", "_h").alias("block_key"), "url")
@@ -205,37 +226,28 @@ def _fuzzy_matches(sig: DataFrame, prev: DataFrame,
     cand = (
         ob.join(F.broadcast(nb), "block_key")
         .filter(F.col("url") != F.col("matched_url"))
-        .select("url", "matched_url")
+        .select(F.concat(F.lit("n:"), "url").alias("id_a"),
+                F.concat(F.lit("o:"), "matched_url").alias("id_b"))
         .distinct()
     )
-    est = (
-        cand
-        .join(F.broadcast(sig.select("url", "minhash", "text")), "url")
-        .join(prev.select(F.col("url").alias("matched_url"),
-                          F.col("minhash").alias("_mo"),
-                          F.col("text").alias("_to")), "matched_url")
-        .withColumn("jacc_est",
-                    minhash_jaccard_expr(F.col("minhash"), F.col("_mo")))
+    sig_u = (
+        sig.select(F.concat(F.lit("n:"), "url").alias("id"),
+                   "minhash", "text")
+        .unionByName(prev.select(F.concat(F.lit("o:"), "url").alias("id"),
+                                 "minhash", "text"))
     )
-    refine_lo, refine_hi = refine_bounds(jaccard_match)
-    fast_cut = max(refine_hi, jaccard_match)
-    fast = est.filter(F.col("jacc_est") >= fast_cut).select(
-        "url", "matched_url", F.col("jacc_est").alias("score"))
-    scorer = make_score_pairs_udf(refine_lo, refine_hi, compute_jw=False)
-    slow = (
-        est.filter((F.col("jacc_est") < fast_cut)
-                   | F.col("jacc_est").isNull())
-        .withColumn("_s", scorer(F.col("text"), F.col("_to"),
-                                 F.col("jacc_est")))
-        .filter((F.col("_s.lev_sim") >= lev_match)
-                | (F.col("_s.jaccard") >= jaccard_match))
-        .select("url", "matched_url",
-                F.greatest("_s.lev_sim", "_s.jaccard").alias("score"))
+    scores = scoring.score_candidates(cand, sig_u, lev_match, jaccard_match)
+    matched = scores.filter(F.col("is_match")).select(
+        F.expr("substring(id_a, 3)").alias("url"),
+        F.expr("substring(id_b, 3)").alias("matched_url"),
+        # fast-path rows carry the estimate in `jaccard` (lev null);
+        # greatest() skips nulls — same score surface as the batch path
+        F.greatest("lev_sim", "jaccard").alias("score"),
     )
     # best match per new url: max score, then min matched_url — one hash
     # agg over a struct (no window sort)
     return (
-        fast.unionByName(slow)
+        matched
         .groupBy("url")
         .agg(F.min(F.struct((-F.col("score")).alias("_ns"),
                             F.col("matched_url").alias("_mu"))).alias("_b"))
@@ -248,7 +260,8 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
                             state_dir: str, matches_dir: str,
                             checkpoint_dir: str, available_now: bool = True,
                             compact_every: int = DEFAULT_COMPACT_EVERY,
-                            lister=posix_lister, fuzzy: bool = False,
+                            lister=posix_lister, remover=posix_remover,
+                            fuzzy: bool = False,
                             lev_match: float | None = None,
                             jaccard_match: float | None = None):
     """Start the stream; returns the StreamingQuery (caller awaits it).
@@ -288,17 +301,21 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
             seen = prev.groupBy("sha_prefix", "text_sha256").agg(
                 F.min("url").alias("first_url")
             )
+            sha_hits = sig.join(seen, ["sha_prefix", "text_sha256"])
             exact = (
-                sig.join(seen, ["sha_prefix", "text_sha256"])
+                sha_hits
                 .filter(F.col("url") != F.col("first_url"))
                 .select("url", "first_url", "text_sha256")
             )
             if fuzzy:
-                # near-dup tier: urls already exact-matched are settled
-                # (score 1.0 beats any fuzzy score); the rest run the
-                # band join + estimate-split scorer against state
+                # near-dup tier runs only for urls whose text is NOT
+                # already in state byte-identically: exact-matched urls
+                # are settled (score 1.0 beats any fuzzy score), and a
+                # RE-DELIVERED url that is itself the sha-group min must
+                # not resurface as a "fuzzy" match of its own copies —
+                # the anti-join is on sha hits, not on emitted matches
                 fz = _fuzzy_matches(
-                    sig.join(exact.select("url"), "url", "left_anti"),
+                    sig.join(sha_hits.select("url"), "url", "left_anti"),
                     prev, lev, jacc)
                 matches = exact.select(
                     "url", F.col("first_url").alias("matched_url"),
@@ -324,7 +341,7 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
             os.path.join(state_dir, "batches", f"batch_id={batch_id}"))
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             _compact(spark, state_dir, current_batch=batch_id, lister=lister,
-                     cols=state_cols)
+                     remover=remover, cols=state_cols)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

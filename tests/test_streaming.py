@@ -305,3 +305,38 @@ def test_incremental_fuzzy_dedup(spark, tmp_path):
     # only if identical -- x-near IS byte-identical to x-near2)
     assert row.iloc[0]["kind"] == "exact"
     assert row.iloc[0]["matched_url"] == "https://h2.example.com/x-near.html"
+
+
+def test_incremental_fuzzy_redelivered_min_url_not_rematched(spark, tmp_path):
+    """A re-delivered url whose text is already in state byte-identically
+    (and which is itself the sha-group minimum) must produce NO match row
+    — neither exact (url == first_url) nor a spurious 'fuzzy' match of
+    its own exact copies (the fuzzy anti-join keys on sha hits, not on
+    emitted exact matches)."""
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    doc = render_html("Redelivered", ["stable page body words " * 10])
+
+    def run_wave(name, rows):
+        _write_wave(os.path.join(input_dir, name), rows)
+        q = start_incremental_dedup(spark, input_dir, state_dir,
+                                    matches_dir, ckpt, fuzzy=True)
+        q.awaitTermination(120)
+
+    # url 'a...' sorts FIRST -> it is the sha-group min
+    run_wave("w1.parquet", [("https://a.example.com/page.html", doc)])
+    run_wave("w2.parquet", [("https://b.example.com/copy.html", doc)])
+    # re-crawl of the min url, identical content: state now holds both
+    # copies, so without the sha-hit anti-join the fuzzy tier would
+    # match the re-delivery against b with est ~1.0
+    run_wave("w3.parquet", [("https://a.example.com/page.html", doc)])
+
+    m = spark.read.parquet(matches_dir).toPandas()
+    # only wave-1's copy match exists; the re-delivery added nothing
+    got = {(r.url, r.matched_url, r.kind) for r in m.itertuples()}
+    assert got == {("https://b.example.com/copy.html",
+                    "https://a.example.com/page.html", "exact")}

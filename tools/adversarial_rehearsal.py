@@ -98,16 +98,23 @@ def _adv_pages_and_pairs(seed: int = 7) -> tuple[pd.DataFrame, pd.DataFrame]:
 
 
 def adv_dir_for(base_pages: int) -> str:
-    """Materialize base-corpus + adversarial pages under .data (cached)."""
-    from dedupe_rust_spark.datagen import _PA_PAGES, pages_dir_for
+    """Materialize base-corpus + adversarial pages under .data (cached).
+    The stamp encodes BOTH the adversarial layer version and the base
+    generator version — a regenerated base corpus (GEN_VERSION bump)
+    invalidates the combined cache instead of silently serving stale
+    pages (the same stale-cache guard datagen.materialize applies)."""
+    from dedupe_rust_spark.datagen import _PA_PAGES, GEN_VERSION, pages_dir_for
 
     base_dir = pages_dir_for("/root/testdata/sf0.1", n_rows=base_pages)
     out = os.path.abspath(os.path.join(
         os.path.dirname(base_dir), f"adv_n{base_pages}"))
-    stamp = os.path.join(out, f".stamp_adv{ADV_VERSION}")
+    stamp = os.path.join(out, f".stamp_adv{ADV_VERSION}_g{GEN_VERSION}")
     if os.path.exists(stamp):
         return out
     os.makedirs(out, exist_ok=True)
+    for f in os.listdir(out):
+        if f.startswith(".stamp_"):
+            os.unlink(os.path.join(out, f))
     adv_pages, adv_pairs = _adv_pages_and_pairs()
     base = pq.read_table(os.path.join(base_dir, "pages.parquet"))
     combined = pa.concat_tables([
