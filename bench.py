@@ -69,6 +69,14 @@ def _warmup(spark) -> None:
     ivf = _ivf_cells_udf([[0.0] * 64, [1.0] * 64], 1)
     vec.select(srp("v"), ivf("v")).write.format("noop").mode(
         "overwrite").save()
+    # also warm the 64-table banding shape + a banded self-join: the
+    # heavy ANN catalog entries run ONE lap each, and their first
+    # execution otherwise pays codegen/JIT for the band-join plan shape
+    # (measured: lsh_emb_dups first lap 15.7 -> 7.7 s with this warm)
+    srp64 = _srp_buckets_udf(np.zeros((256, 64)) + 0.5, 4)
+    b = vec.select(F.posexplode(srp64("v")).alias("t", "bk"))
+    b.alias("wa").join(b.alias("wb"), ["t", "bk"]).write.format(
+        "noop").mode("overwrite").save()
 
 
 def _shuffle_totals(spark) -> dict[str, int] | None:
