@@ -164,6 +164,54 @@ def srp_band_blocks(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _pair_cosine_udf():
+    """Arrow pandas UDF: (va, vb) -> cosine double, numerically IDENTICAL
+    to the builtin higher-order form round(_dot(va,vb)/(_norm(va)*_norm(vb)))
+    before the round: the numpy loop below performs the same IEEE-754
+    double operations in the same order as the F.aggregate left folds
+    (cast each float element to double, multiply, accumulate element 0..d-1,
+    sqrt the norm folds, multiply the two norms, divide) — so the value is
+    bit-identical and the brute-force DuckDB equality oracle is untouched.
+
+    Why a UDF: higher-order-function folds evaluate per element per row
+    outside whole-stage codegen; at millions of candidate pairs the
+    interpreted fold dominated the banded-pairs query (measured 45-60 s
+    executor CPU for ~2M pairs at sf0.1, with multi-x lap-to-lap JIT
+    variance). One vectorized numpy pass per Arrow batch does the same
+    arithmetic in milliseconds (guide §4.2). Rounding stays JVM-side
+    (Spark round is BigDecimal HALF_UP — not numpy's rounding)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    def _fold_cosine(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for d in range(A.shape[1]):  # left fold, same order as F.aggregate
+            dot += A[:, d] * B[:, d]
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        return dot / (np.sqrt(na) * np.sqrt(nb))
+
+    @pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        nulls = va.isna().to_numpy() | vb.isna().to_numpy()
+        if not nulls.any():  # hot path: one vstack, no per-row pandas calls
+            A = np.vstack(va.to_numpy()).astype(np.float64)
+            B = np.vstack(vb.to_numpy()).astype(np.float64)
+            return pd.Series(_fold_cosine(A, B))
+        out = pd.Series(np.full(len(va), None, dtype=object))
+        valid = np.where(~nulls)[0]
+        if len(valid):
+            A = np.vstack(va.iloc[valid].to_numpy()).astype(np.float64)
+            B = np.vstack(vb.iloc[valid].to_numpy()).astype(np.float64)
+            out.iloc[valid] = _fold_cosine(A, B)
+        return out
+
+    return cos
+
+
 def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      bits: int = 4, n_tables: int = 64, dim: int = 64,
@@ -175,35 +223,77 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float = 0.35,
     corpora, so the brute-force DuckDB SQL is a hard equality oracle.
 
     Scale dial: bits grows with corpus size (bucket count 2^bits bounds the
-    per-bucket self-join); tables buy back the recall that extra bits cost.
-    """
+    per-bucket pair fan-out); tables buy back the recall that extra bits
+    cost.
+
+    Plan shape (round 6): ONE shuffle of the band stream — buckets are
+    grouped (collect_list, map-side combinable) and each in-block pair is
+    emitted once via nested explodes, the same candidate shape as the text
+    path (blocking.prune_blocks + candidates.candidate_pairs). The former
+    banded self-join shuffled/broadcast the band stream per join side and
+    probed m^2 rows per bucket. Pair dedup is the one pair-sized exchange;
+    vectors are attached by id joins (broadcast here; hash joins of
+    pairs — small relative to the corpus — at scale) and scored by the
+    bit-exact Arrow batch cosine (_pair_cosine_udf)."""
     ids = df.select(id_col, vec_col)
-    # both sides of the self-join consume the banded stream: materialize
-    # it once so the bucket UDF pass runs once, not per join side
-    blocks = srp_band_blocks(ids, id_col, vec_col, bits, n_tables, dim,
-                             seed).localCheckpoint(eager=False)
-    a, b = blocks.alias("a"), blocks.alias("b")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # the banding UDF inherits the scan's split count: a small single-file
+    # corpus runs the matmul on ONE task. Spread it — but only when the
+    # scan is actually under-parallel (a 100 TB corpus scan already yields
+    # tens of thousands of splits; the split count is known from footer
+    # metadata, no job runs). The same signal marks the corpus small enough
+    # to broadcast on the vector-attach joins below.
+    small_corpus = ids.rdd.getNumPartitions() < par
+    if small_corpus:
+        ids = ids.repartition(2 * par)
+    blocks = srp_band_blocks(ids, id_col, vec_col, bits, n_tables, dim, seed)
+    grouped = (
+        blocks.groupBy("block_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # pair generation is quadratic per block while a grouped row is a few
+    # KB: AQE's byte-based coalescing would pack the blocks into 1-2
+    # post-shuffle partitions and serialize the explode. Spread the block
+    # rows round-robin (tiny shuffle; deterministic placement via Spark's
+    # sort-before-repartition) so the fan-out uses the whole cluster.
+    # Pairs come from posexplode + slice over the SORTED id array — each
+    # in-block pair once, already canonical (id_a < id_b), with no
+    # per-element lambda (the F.filter higher-order form paid an
+    # interpreted predicate per array element — measured 6-77 s of
+    # JIT-dependent CPU for ~16M element visits).
+    grouped = grouped.repartition(2 * par)
     pairs = (
-        a.join(b, "block_key")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("vec_id_a"),
-                F.col(f"b.{id_col}").alias("vec_id_b"))
+        grouped.select(F.posexplode("ids").alias("_i", "vec_id_a"), "ids")
+        .select(
+            "vec_id_a",
+            F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))
+                      ).alias("vec_id_b"),
+        )
         .distinct()
     )
-    # norms are per-VECTOR quantities: compute them once on the n-row side
-    # of each join instead of re-evaluating the norm fold on every one of
-    # the candidate-pair rows (same expression on the same data -> same
-    # float values; only the dot stays per-pair)
-    va = ids.select(F.col(id_col).alias("vec_id_a"),
-                    F.col(vec_col).alias("va"),
-                    _norm(F.col(vec_col)).alias("na"))
-    vb = ids.select(F.col(id_col).alias("vec_id_b"),
-                    F.col(vec_col).alias("vb"),
-                    _norm(F.col(vec_col)).alias("nb"))
+    # vector attach: project from the ORIGINAL df (not the repartitioned
+    # stream) so the planner sees the bare scan; on a small corpus force
+    # the build side to the vector table — the planner otherwise broadcast
+    # the PAIRS side (a driver-built multi-million-row hash relation,
+    # measured as BuildLeft on a 2M-row pair table). At 10^9 rows neither
+    # side fits a broadcast and the attach degrades to the shuffled
+    # pair-by-id joins the docstring describes.
+    va = df.select(F.col(id_col).alias("vec_id_a"),
+                   F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("vec_id_b"),
+                   F.col(vec_col).alias("vb"))
+    if small_corpus:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    # asNondeterministic: the threshold filter references the UDF column;
+    # without it the optimizer pushes the filter below the projection and
+    # evaluates the UDF (and its Arrow transfer) TWICE (guide §4.4 —
+    # verified in the physical plan: two ArrowEvalPython nodes).
+    cos = _pair_cosine_udf().asNondeterministic()
     return (
         pairs.join(va, "vec_id_a").join(vb, "vec_id_b")
-        .withColumn("cosine", F.round(_dot(F.col("va"), F.col("vb"))
-                                      / (F.col("na") * F.col("nb")), 4))
+        .withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
     )
