@@ -50,9 +50,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-DRIVER_FINISH_EDGES = 100_000  # contracted-edge count below which the
-# tail of the CC loop runs as driver-side union-find (~1.6 MB of longs;
-# bounded driver state, like a broadcast dim table)
+DRIVER_FINISH_EDGES = 500_000  # contracted-edge count below which the
+# tail of the CC loop runs as driver-side union-find (~8 MB of longs;
+# bounded driver state, like a broadcast dim table). Raised 100k -> 500k
+# in round 6: a distributed contraction level is ~24 driver-synchronized
+# jobs (AQE stage jobs + the jump loop) whose scheduling latency alone is
+# >1 s, while union-find over 500k 16-byte edges collects in ~0.2 s and
+# runs in microseconds — measured on the 50k-page bench input, whose
+# ~110k-edge match graph sat just above the old bound and paid a full
+# distributed level for nothing.
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
@@ -64,7 +70,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 
     Only nodes that appear in an edge are returned (singletons are added by
     the caller if desired). Pass `stats` to receive {"levels": k,
-    "mappings": m, "driver_finish": bool} — `levels` counts DISTRIBUTED
+    "mappings": m, "driver_finish": bool} plus — only when
+    driver_finish_edges > 0, whose entry check is the one place the edge
+    count is already paid for — "input_edges" (the key is deliberately
+    absent in pure-distributed mode rather than costing every run an
+    extra count job). `levels` counts DISTRIBUTED
     contraction levels only (the scale-rehearsal metric: levels grow
     O(log diameter), so a jump flags a structural change in the match
     graph, not just more data — comparable between driver_finish on/off

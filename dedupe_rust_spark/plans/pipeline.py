@@ -98,6 +98,13 @@ def dedup_clusters(pages: DataFrame, cfg: PipelineConfig | None = None
     of a parquet dir. Returns labels (url, cluster_id), clustered rows only.
     """
     cfg = cfg or PipelineConfig(checkpoints=False)
+    # same under-parallel guard as DedupPipeline.signatures: catalog-derived
+    # pages are 1-3 splits, so the signature UDF would run on 1-3 tasks; a
+    # real corpus scan is already parallel and skips the shuffle (the split
+    # count is parquet footer metadata, no job runs)
+    par = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < 2 * par:
+        pages = pages.repartition(2 * par)
     sig = sigs.signatures(sigs.extract(pages, cfg.use_golden_text),
                           cfg.lsh_bands)
     sig = sig.localCheckpoint()  # consumed by 4 downstream subtrees

