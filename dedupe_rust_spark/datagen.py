@@ -120,9 +120,24 @@ class _Builder:
         self.pairs.append((a, b, is_dup, tier))
 
 
-def generate(sf_dir: str, n_rows: int | None = None, seed: int = 42
+def generate(sf_dir: str, n_rows: int | None = None, seed: int = 42,
+             constant_family: bool = False
              ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Build (pages_df, labeled_pairs_df). Deterministic in (sf_dir, n_rows, seed)."""
+    """Build (pages_df, labeled_pairs_df). Deterministic in
+    (sf_dir, n_rows, seed, constant_family).
+
+    constant_family=True (round 6 — the r5 verdict's scaling-corpus ask):
+    from the second cycle over the base documents on, each visit's body is
+    decorrelated from the base doc by a deterministic ~45% word
+    substitution BEFORE families are built. In the default mode every
+    visit of the same base doc is a near-dup of every other visit, so
+    family (and LSH block) sizes grow ~linearly with n_rows — a
+    super-linear pair density that belongs to the generator, not the
+    plan. With constant families, cross-visit similarity sits far below
+    every match threshold (~45% word edits kill ~3x that fraction of
+    word-3-shingles), so dup/near-dup family sizes are set by the
+    per-visit roll alone and stay CONSTANT in n_rows — the corpus a
+    shuffle-bytes-per-doubling measurement needs."""
     docs = _doc_rows(sf_dir)
     if n_rows is None:
         n_rows = 2 * len(docs)
@@ -151,6 +166,11 @@ def generate(sf_dir: str, n_rows: int | None = None, seed: int = 42
         doc_id, text, lang = docs[di % len(docs)]
         di += 1
         words = text.split() or ["empty", "doc"]
+        if constant_family and di > len(docs):
+            # decorrelate this visit from every other visit of the same
+            # base doc (see docstring) — the visit's own family below is
+            # then built from the decorrelated body as usual
+            words = _edit_words(rng, words, 0.45, vocab)
         title = _title(words, doc_id) + (f" v{di}" if di > len(docs) else "")
         paras = _paragraphs(" ".join(words))
         host = _zipf_host(rng, b.hosts)
@@ -251,12 +271,15 @@ _PA_PAGES = pa.schema(
 
 
 def materialize(sf_dir: str, out_dir: str, n_rows: int | None = None,
-                seed: int = 42, force: bool = False) -> tuple[str, str]:
+                seed: int = 42, force: bool = False,
+                constant_family: bool = False) -> tuple[str, str]:
     """Write pages.parquet + labeled_pairs.parquet under out_dir (cached)."""
     os.makedirs(out_dir, exist_ok=True)
     pages_path = os.path.join(out_dir, "pages.parquet")
     pairs_path = os.path.join(out_dir, "labeled_pairs.parquet")
-    stamp = os.path.join(out_dir, f".stamp_v{GEN_VERSION}_s{seed}_n{n_rows}")
+    cf = "_cf" if constant_family else ""
+    stamp = os.path.join(out_dir,
+                         f".stamp_v{GEN_VERSION}_s{seed}_n{n_rows}{cf}")
     if not force and os.path.exists(stamp):
         return pages_path, pairs_path
     # regenerating: drop every other stamp so a dir can never satisfy two
@@ -264,7 +287,8 @@ def materialize(sf_dir: str, out_dir: str, n_rows: int | None = None,
     for f in os.listdir(out_dir):
         if f.startswith(".stamp_"):
             os.unlink(os.path.join(out_dir, f))
-    pages, pairs = generate(sf_dir, n_rows=n_rows, seed=seed)
+    pages, pairs = generate(sf_dir, n_rows=n_rows, seed=seed,
+                            constant_family=constant_family)
     tbl = pa.Table.from_pandas(pages, schema=_PA_PAGES, preserve_index=False)
     # small row groups => the scan splits across tasks (a single row group
     # would make the html read single-threaded in Spark)
@@ -275,14 +299,17 @@ def materialize(sf_dir: str, out_dir: str, n_rows: int | None = None,
     return pages_path, pairs_path
 
 
-def pages_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42) -> str:
+def pages_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
+                  constant_family: bool = False) -> str:
     """Default cache location for a given sf_dir, under the repo. The seed
-    is part of the directory tag (non-default seeds get their own dir) so
-    concurrent seeds never share a cache dir."""
+    and the constant_family mode are part of the directory tag so
+    concurrent variants never share a cache dir."""
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".data")
     tag = os.path.basename(os.path.normpath(sf_dir)) + (
         f"_n{n_rows}" if n_rows else ""
-    ) + (f"_s{seed}" if seed != 42 else "")
+    ) + (f"_s{seed}" if seed != 42 else "") + (
+        "_cf" if constant_family else "")
     out = os.path.abspath(os.path.join(base, tag))
-    materialize(sf_dir, out, n_rows=n_rows, seed=seed)
+    materialize(sf_dir, out, n_rows=n_rows, seed=seed,
+                constant_family=constant_family)
     return out

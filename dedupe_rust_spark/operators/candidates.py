@@ -70,6 +70,16 @@ def candidate_pairs(grouped: DataFrame, keep_block_key: bool = True,
     rows are two longs, and keep_block_key=False drops the key before
     that shuffle (the retained key of a multi-band pair is arbitrary
     anyway)."""
+    # sort each block's ids once: pair emission then needs only
+    # posexplode + slice / element_at — pure array ops in codegen. The
+    # round-5 form used F.filter(ids, lambda) higher-order predicates,
+    # which evaluate an interpreted lambda PER ARRAY ELEMENT — at sum
+    # m^2 ~ millions of element visits per run that was the candidates
+    # stage's JIT-sensitive hot spot (same fix as ann.lsh_cosine_pairs).
+    # ids are unique within a block (one band row per id per band), so
+    # ascending order makes every emission canonical id_a < id_b — the
+    # same pair set as the filter form, row for row.
+    grouped = grouped.withColumn("ids", F.array_sort("ids"))
     if star_min_block is None:
         gen = grouped
     else:
@@ -81,33 +91,26 @@ def candidate_pairs(grouped: DataFrame, keep_block_key: bool = True,
         # (measured: restores the last few 200k-scale boundary pairs the
         # single hub dropped). Both emissions are canonical id_a < id_b;
         # the (min, max) pair appears in both and dedups.
-        s_min = (
-            big.withColumn("id_a", F.array_min("ids"))
-            .select(
-                "block_key", "id_a",
-                F.explode(
-                    F.filter("ids", lambda y: y > F.col("id_a"))
-                ).alias("id_b"),
-            )
+        s_min = big.select(
+            "block_key",
+            F.element_at("ids", 1).alias("id_a"),
+            F.explode(F.slice("ids", F.lit(2), F.size("ids"))).alias("id_b"),
         )
-        s_max = (
-            big.withColumn("id_b", F.array_max("ids"))
-            .select(
-                "block_key",
-                F.explode(
-                    F.filter("ids", lambda y: y < F.col("id_b"))
-                ).alias("id_a"),
-                "id_b",
-            )
+        s_max = big.select(
+            "block_key",
+            F.explode(F.slice("ids", F.lit(1), F.size("ids") - 1)
+                      ).alias("id_a"),
+            F.element_at("ids", -1).alias("id_b"),
         )
-        star = s_min.unionByName(s_max)
+        star = s_min.unionByName(s_max.select("block_key", "id_a", "id_b"))
         gen = small
     a = gen.select(
-        "block_key", F.explode("ids").alias("id_a"), "ids"
+        "block_key", F.posexplode("ids").alias("_i", "id_a"), "ids"
     )
     pairs = a.select(
         "block_key", "id_a",
-        F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"),
+        F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))
+                  ).alias("id_b"),
     )
     if star_min_block is not None:
         pairs = pairs.unionByName(star)

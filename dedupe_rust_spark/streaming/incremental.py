@@ -20,17 +20,18 @@ Design: Structured Streaming file source -> foreachBatch. Each micro-batch
 foreachBatch (not a stateful operator) because the state table must be
 shared with the batch pipeline and survive restarts.
 
-Fuzzy-tier scale shape: the state never shuffles — the (small) batch's
-band stream is broadcast and the state streams past it; candidate pairs
-(not the corpus) carry minhash/text into scoring. Per-batch cost is one
-O(state) scan, same as the exact sha join. At 10^12-doc scale the state
-would be stored ALREADY EXPLODED as a band-key-partitioned index table
-so the band join prunes to the batch's key partitions instead of
-scanning; and the url payloads would ride as 8-byte surrogate ids (the
-batch pipeline's trick) — same dataflow, noted not implemented since
-micro-batches here are tiny. Like the exact tier, fuzzy matches are
-found against PRE-batch state only (within-batch pairs surface when
-either url recurs, or through the batch pipeline over the full corpus).
+Fuzzy-tier scale shape (round 6 — the formerly documented-only design,
+implemented): the state never shuffles — the (small) batch's band
+stream is broadcast and the state's band INDEX streams past it. Bands
+are stored exploded as (block_key, id) rows hash-partitioned by
+pmod(block_key, BAND_INDEX_PARTS); each batch reads only the partitions
+its own keys touch (path-level pruning, inputFiles-asserted in tests)
+and the join carries 8-byte surrogate ids — text joins in only for
+decision-band refinement inside the shared scorer. Candidate pairs
+(not the corpus) carry minhash/text into scoring. Like the exact tier,
+fuzzy matches are found against PRE-batch state only (within-batch
+pairs surface when either url recurs, or through the batch pipeline
+over the full corpus).
 
 Delivery semantics: both sinks are written as `batch_id=N` partition
 directories with mode("overwrite") scoped to that directory — a micro-batch
@@ -75,6 +76,18 @@ SIG_STATE_COLS = ["url", "host", "lang", "text_sha256", "n_chars"]
 # the batch pipeline checkpoints
 FUZZY_STATE_COLS = SIG_STATE_COLS + ["bands", "minhash", "text"]
 DEFAULT_COMPACT_EVERY = 8
+
+# fuzzy band INDEX (round 6 — the formerly documented-only 10^12 design):
+# state bands are stored EXPLODED as (block_key long, id long) rows,
+# hash-partitioned into BAND_INDEX_PARTS dirs by pmod(block_key, P). The
+# per-batch band join reads ONLY the partitions the batch's own keys
+# touch (path-level pruning, asserted by inputFiles in
+# tests/test_streaming.py) and carries 8-byte surrogate ids — never text
+# or url payloads; matched ids join back to the signature state for
+# scoring, and text is attached only inside the decision band
+# (scoring.score_estimated's slow path). P is a layout constant: changing
+# it requires reindexing (compaction rewrites everything anyway).
+BAND_INDEX_PARTS = 64
 
 
 def posix_lister(path: str) -> list[str]:
@@ -123,15 +136,17 @@ def hadoop_remover(spark: SparkSession):
     return _rm
 
 
-def _batch_ids(state_dir: str, lister=posix_lister) -> list[int]:
+def _batch_ids(state_dir: str, lister=posix_lister,
+               subdir: str = "batches") -> list[int]:
     return sorted(int(f.split("=", 1)[1])
-                  for f in lister(os.path.join(state_dir, "batches"))
+                  for f in lister(os.path.join(state_dir, subdir))
                   if f.startswith("batch_id="))
 
 
-def _compacted_uptos(state_dir: str, lister=posix_lister) -> list[int]:
+def _compacted_uptos(state_dir: str, lister=posix_lister,
+                     subdir: str = "compacted") -> list[int]:
     return sorted(int(f.split("=", 1)[1])
-                  for f in lister(os.path.join(state_dir, "compacted"))
+                  for f in lister(os.path.join(state_dir, subdir))
                   if f.startswith("upto="))
 
 
@@ -171,6 +186,83 @@ def _state(spark: SparkSession, state_dir: str,
     return out
 
 
+def _band_sig_index(sig: DataFrame) -> DataFrame:
+    """(bk_mod, block_key, id) band-index rows for a signature batch —
+    id = xxhash64(url), the batch pipeline's surrogate key discipline."""
+    return (
+        sig.select(F.xxhash64("url").alias("id"),
+                   F.posexplode("bands").alias("_b", "_h"))
+        .select(F.xxhash64("_b", "_h").alias("block_key"), "id")
+        .withColumn("bk_mod", F.pmod("block_key", F.lit(BAND_INDEX_PARTS)))
+    )
+
+
+def _band_index(spark: SparkSession, state_dir: str,
+                before_batch: int | None = None,
+                lister=posix_lister,
+                mods: list[int] | None = None) -> DataFrame | None:
+    """Accumulated band index (block_key, id), pruned at the PATH level to
+    the bk_mod partitions in `mods` (None = all): only the touched 1/P of
+    the index files are ever listed into the scan — the O(state)-per-batch
+    band scan becomes O(state * touched/P). Same snapshot+batches layout
+    and retry contract as _state."""
+    def _mod_paths(base: str) -> list[str]:
+        subs = [f for f in lister(base) if f.startswith("bk_mod=")]
+        if mods is not None:
+            want = {f"bk_mod={m}" for m in mods}
+            subs = [f for f in subs if f in want]
+        return [os.path.join(base, f) for f in subs]
+
+    parts: list[DataFrame] = []
+    uptos = _compacted_uptos(state_dir, lister,
+                             subdir="bands_compacted")
+    if uptos:
+        base = os.path.join(state_dir, "bands_compacted", f"upto={uptos[-1]}")
+        paths = _mod_paths(base)
+        if paths:
+            parts.append(spark.read.option("basePath", base).parquet(*paths)
+                         .select("block_key", "id"))
+    bids = [b for b in _batch_ids(state_dir, lister, subdir="bands")
+            if before_batch is None or b < before_batch]
+    for b in bids:
+        base = os.path.join(state_dir, "bands", f"batch_id={b}")
+        paths = _mod_paths(base)
+        if paths:
+            parts.append(spark.read.option("basePath", base).parquet(*paths)
+                         .select("block_key", "id"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _compact_bands(spark: SparkSession, state_dir: str, current_batch: int,
+                   lister=posix_lister, remover=posix_remover) -> None:
+    """Fold committed band-index batch dirs + the previous snapshot into
+    bands_compacted/upto=<current_batch-1> — the index twin of _compact
+    (crash dups are full-row identical; harmless for candidates, deduped
+    for size)."""
+    bids = [b for b in _batch_ids(state_dir, lister, subdir="bands")
+            if b < current_batch]
+    if not bids:
+        return
+    folded = _band_index(spark, state_dir, before_batch=current_batch,
+                         lister=lister)
+    folded = (folded.dropDuplicates(["block_key", "id"])
+              .withColumn("bk_mod",
+                          F.pmod("block_key", F.lit(BAND_INDEX_PARTS))))
+    upto = current_batch - 1
+    target = os.path.join(state_dir, "bands_compacted", f"upto={upto}")
+    folded.write.partitionBy("bk_mod").mode("overwrite").parquet(target)
+    for b in bids:
+        remover(os.path.join(state_dir, "bands", f"batch_id={b}"))
+    for u in _compacted_uptos(state_dir, lister, subdir="bands_compacted"):
+        if u != upto:
+            remover(os.path.join(state_dir, "bands_compacted", f"upto={u}"))
+
+
 def _compact(spark: SparkSession, state_dir: str, current_batch: int,
              lister=posix_lister, remover=posix_remover,
              cols: list[str] = SIG_STATE_COLS) -> None:
@@ -201,14 +293,24 @@ def _compact(spark: SparkSession, state_dir: str, current_batch: int,
 
 
 def _fuzzy_matches(sig: DataFrame, prev: DataFrame,
-                   lev_match: float, jaccard_match: float) -> DataFrame:
+                   lev_match: float, jaccard_match: float,
+                   idx: DataFrame | None = None) -> DataFrame:
     """Near-dup matches of the batch against pre-batch state:
     (url, matched_url, score) — the best-scoring state match per new url,
     deterministic (ties break to the lexicographically smallest url).
 
     Candidate generation mirrors the batch pipeline's banding: LSH
-    band-key equi-join, batch band stream broadcast so the state streams
-    past it. The DECISION is not mirrored but REUSED — candidate pairs
+    band-key equi-join, batch band stream broadcast so the state (index)
+    streams past it. When `idx` is given (the band-key-partitioned
+    (block_key, id) index, pruned to the batch's touched partitions by
+    the caller) the join carries 8-byte ids only and matched ids join
+    back to `prev` for urls; without it (index not yet built for a
+    pre-existing state dir) the bands are exploded from `prev` directly.
+    A url is NEVER a fuzzy match of itself: a re-crawled url whose text
+    drifted is excluded here by the url != matched_url filter (its
+    batch and state rows stay distinct via the n:/o: namespaces below)
+    — version-drift detection would be a different `kind`, not a match.
+    The DECISION is not mirrored but REUSED — candidate pairs
     are fed through scoring.attach_estimates + score_estimated over a
     two-namespace url-keyed signature table ("n:"/"o:" prefixes keep a
     re-crawled url's batch row distinct from its state row), so the
@@ -220,16 +322,32 @@ def _fuzzy_matches(sig: DataFrame, prev: DataFrame,
 
     nb = sig.select("url", F.posexplode("bands").alias("_b", "_h")).select(
         F.xxhash64("_b", "_h").alias("block_key"), "url")
-    ob = prev.select(F.col("url").alias("matched_url"),
-                     F.posexplode("bands").alias("_b", "_h")).select(
-        F.xxhash64("_b", "_h").alias("block_key"), "matched_url")
-    cand = (
-        ob.join(F.broadcast(nb), "block_key")
-        .filter(F.col("url") != F.col("matched_url"))
-        .select(F.concat(F.lit("n:"), "url").alias("id_a"),
-                F.concat(F.lit("o:"), "matched_url").alias("id_b"))
-        .distinct()
-    )
+    if idx is not None:
+        hit_ids = (
+            idx.join(F.broadcast(nb), "block_key")
+            .select("url", "id")
+            .distinct()
+        )
+        cand = (
+            hit_ids.join(prev.select(F.xxhash64("url").alias("id"),
+                                     F.col("url").alias("matched_url")),
+                         "id")
+            .filter(F.col("url") != F.col("matched_url"))
+            .select(F.concat(F.lit("n:"), "url").alias("id_a"),
+                    F.concat(F.lit("o:"), "matched_url").alias("id_b"))
+            .distinct()
+        )
+    else:
+        ob = prev.select(F.col("url").alias("matched_url"),
+                         F.posexplode("bands").alias("_b", "_h")).select(
+            F.xxhash64("_b", "_h").alias("block_key"), "matched_url")
+        cand = (
+            ob.join(F.broadcast(nb), "block_key")
+            .filter(F.col("url") != F.col("matched_url"))
+            .select(F.concat(F.lit("n:"), "url").alias("id_a"),
+                    F.concat(F.lit("o:"), "matched_url").alias("id_b"))
+            .distinct()
+        )
     sig_u = (
         sig.select(F.concat(F.lit("n:"), "url").alias("id"),
                    "minhash", "text")
@@ -314,9 +432,15 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
                 # RE-DELIVERED url that is itself the sha-group min must
                 # not resurface as a "fuzzy" match of its own copies —
                 # the anti-join is on sha hits, not on emitted matches
-                fz = _fuzzy_matches(
-                    sig.join(sha_hits.select("url"), "url", "left_anti"),
-                    prev, lev, jacc)
+                fresh = sig.join(sha_hits.select("url"), "url", "left_anti")
+                # touched index partitions: the batch's own band keys mod
+                # P (a <=P-row collect off the checkpointed batch) — the
+                # state read below lists ONLY those bk_mod dirs
+                mods = [r[0] for r in _band_sig_index(fresh)
+                        .select("bk_mod").distinct().collect()]
+                idx = _band_index(spark, state_dir, before_batch=batch_id,
+                                  lister=lister, mods=mods)
+                fz = _fuzzy_matches(fresh, prev, lev, jacc, idx=idx)
                 matches = exact.select(
                     "url", F.col("first_url").alias("matched_url"),
                     F.lit("exact").alias("kind"),
@@ -339,9 +463,18 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
             os.path.join(matches_dir, f"batch_id={batch_id}"))
         sig.write.partitionBy("sha_prefix").mode("overwrite").parquet(
             os.path.join(state_dir, "batches", f"batch_id={batch_id}"))
+        if fuzzy:
+            # band-key-partitioned index twin of the batch state write
+            # (same batch_id dir + overwrite idempotency contract)
+            _band_sig_index(sig).write.partitionBy("bk_mod").mode(
+                "overwrite").parquet(
+                os.path.join(state_dir, "bands", f"batch_id={batch_id}"))
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             _compact(spark, state_dir, current_batch=batch_id, lister=lister,
                      remover=remover, cols=state_cols)
+            if fuzzy:
+                _compact_bands(spark, state_dir, current_batch=batch_id,
+                               lister=lister, remover=remover)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

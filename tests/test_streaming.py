@@ -340,3 +340,63 @@ def test_incremental_fuzzy_redelivered_min_url_not_rematched(spark, tmp_path):
     got = {(r.url, r.matched_url, r.kind) for r in m.itertuples()}
     assert got == {("https://b.example.com/copy.html",
                     "https://a.example.com/page.html", "exact")}
+
+
+def test_fuzzy_band_index_partition_pruning(spark, tmp_path):
+    """The fuzzy state's band index is stored partitioned by
+    pmod(block_key, BAND_INDEX_PARTS); a read restricted to a batch's
+    touched partitions must list ONLY files under those bk_mod dirs
+    (path-level pruning — the 10^12 design's per-batch O(touched/P)
+    state scan), and the index rows must be (block_key, id) surrogate
+    longs, never url/text payloads."""
+    from dedupe_rust_spark.streaming.incremental import (
+        BAND_INDEX_PARTS, _band_index, _band_sig_index,
+    )
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    docs = [(f"https://h{i}.example.com/p{i}.html",
+             render_html(f"Doc {i}", [f"body {i} words " * 20]))
+            for i in range(6)]
+
+    def run_wave(name, rows):
+        _write_wave(os.path.join(input_dir, name), rows)
+        q = start_incremental_dedup(spark, input_dir, state_dir,
+                                    matches_dir, ckpt, fuzzy=True)
+        q.awaitTermination(120)
+
+    run_wave("w1.parquet", docs[:3])
+    run_wave("w2.parquet", docs[3:])
+
+    # index rows are surrogate longs only
+    full = _band_index(spark, state_dir)
+    assert full is not None
+    assert set(full.columns) == {"block_key", "id"}
+    assert dict(full.dtypes) == {"block_key": "bigint", "id": "bigint"}
+
+    # pick a strict subset of the mods actually present on disk
+    present = sorted({int(p.split("=")[1]) for b in
+                      os.listdir(os.path.join(state_dir, "bands"))
+                      for p in os.listdir(
+                          os.path.join(state_dir, "bands", b))
+                      if p.startswith("bk_mod=")})
+    assert present, "fuzzy stream must write the band index"
+    touched = present[: max(1, len(present) // 2)]
+    pruned = _band_index(spark, state_dir, mods=touched)
+    files = pruned.inputFiles()
+    assert files, "pruned index read must still see the touched dirs"
+    want = {f"bk_mod={m}" for m in touched}
+    for f in files:
+        part = [seg for seg in f.split("/") if seg.startswith("bk_mod=")]
+        assert part and part[0] in want, f"unpruned file in scan: {f}"
+    # and the pruned read returns exactly the rows of those partitions
+    got = pruned.count()
+    import pyspark.sql.functions as F
+    want_rows = full.withColumn(
+        "_m", F.pmod("block_key", F.lit(BAND_INDEX_PARTS))
+    ).filter(F.col("_m").isin(touched)).count()
+    assert got == want_rows

@@ -4,7 +4,10 @@ stage walls, contraction-CC level count, salted-block census, and the
 pair-stream histogram — the metrics that must stay well-behaved as the
 match graph grows. Results row lives in BENCH/BASELINE.md.
 
-Usage: python tools/scale_rehearsal.py [n_pages]    # default 800000
+Usage: python tools/scale_rehearsal.py [n_pages] [--constant-family]
+(default 800000; --constant-family uses the datagen mode whose dup/near-dup
+family sizes do NOT grow with n_pages — the r5 verdict's corpus for the
+shuffle-bytes-per-doubling linearity measurement, round 6)
 """
 
 from __future__ import annotations
@@ -30,9 +33,12 @@ def main() -> None:
     from dedupe_rust_spark.session import get_spark
     from dedupe_rust_spark.sources.pages import clean_pages, read_pages
 
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cf = "--constant-family" in sys.argv
+    n_pages = int(args[0]) if args else 800_000
     spark = get_spark(app="scale_rehearsal", cpus=32)
-    pages_dir = pages_dir_for("/root/testdata/sf0.1", n_rows=n_pages)
+    pages_dir = pages_dir_for("/root/testdata/sf0.1", n_rows=n_pages,
+                              constant_family=cf)
     cfg = PipelineConfig(checkpoints=False)
     _warmup(spark)
     DedupPipeline(spark, pages_dir, config=cfg).run()  # warm lap
@@ -58,7 +64,8 @@ def main() -> None:
     stats = pair_stream_stats(pruned, DEFAULT_STAR_MIN_BLOCK)
 
     print(json.dumps({
-        "pages": n_pages, "wall_sec": round(wall, 2),
+        "pages": n_pages, "constant_family": cf,
+        "wall_sec": round(wall, 2),
         "clustered_urls": clustered,
         "stage_ms": {m["stage"]: m["wall_ms"] for m in pipe.stage_metrics
                      if "wall_ms" in m},
