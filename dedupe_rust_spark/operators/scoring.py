@@ -24,10 +24,13 @@ near_mid pairs (>= 0.85 word-edit similarity) land above both; near_low
 (0.70-0.85) and adversarial pairs land below. Exact dups never reach here
 (collapsed pre-blocking) but would score 1.0 anyway.
 
-Scale note: texts are attached by two hash joins against the (deduped)
-signatures table — at 100 TB the scored side is candidates (small relative
-to corpus), so Catalyst shuffles pairs, not the corpus, and AQE picks
-broadcast when candidates fit.
+Scale note: minhash/text attach joins run against the signatures table
+SEMI-FILTERED to candidate-incident ids (broadcast id set, guide §3.2) —
+so the corpus-sized signature columns are scanned but never shuffled;
+only candidate rows and the candidates' own signature payloads cross the
+network. Without the pre-filter the attach transitions to a sort-merge
+join that shuffles the whole corpus table the moment candidates outgrow
+the broadcast threshold (measured at the 3.2M-page rehearsal, round 6).
 """
 
 from __future__ import annotations
@@ -59,10 +62,32 @@ def attach_estimates(pairs: DataFrame, sig: DataFrame) -> DataFrame:
     The signature arrays are DROPPED in the same projection — they never
     ride the downstream pair shuffles (at 7.8M pairs the arrays were
     multiple GB of extra shuffle, which erased the Python savings at high
-    parallelism: memory bandwidth is the shared resource at 32 cores)."""
-    mh = sig.select("id", "minhash")
+    parallelism: memory bandwidth is the shared resource at 32 cores).
+
+    The minhash table is SEMI-FILTERED to ids that appear in a pair
+    before the attach joins (guide §3.2): minhash rows are ~256 B of
+    near-incompressible shorts, and once the pair side outgrows the
+    broadcast threshold the un-filtered attach is planned as a
+    sort-merge join that shuffles the ENTIRE corpus minhash table —
+    measured 0.61 GB written / 1.30 GB read at the 3.2M-page
+    constant-family rehearsal, the largest super-linear step in the
+    doubling measurement. The pair rows (16 B each) are lazily
+    materialized so deriving the id set does not recompute pair
+    generation; the semi's build side is 8-byte longs and is broadcast
+    AT PLAN TIME — a runtime-adaptive plain semi-join was measured to
+    write the full minhash exchange anyway (AQE demotes a join only
+    after both child map stages have materialized). Bound: the id set
+    must fit a broadcast relation (512M rows / 8 GB — ~500M distinct
+    candidate ids); past that, drop the hint and this degrades to the
+    sort-merge attach. Pure filter: join results unchanged."""
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    need = (pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct())
+    mh = sig.select("id", "minhash").join(F.broadcast(need), "id",
+                                          "left_semi")
     return (
-        pairs.select("id_a", "id_b")
+        pairs
         .join(mh.withColumnsRenamed(
             {"id": "id_a", "minhash": "_ma"}), "id_a")
         .join(mh.withColumnsRenamed(
@@ -102,10 +127,26 @@ def score_estimated(est_pairs: DataFrame, sig: DataFrame,
         F.col("jacc_est").alias("jaccard"),
         F.lit(True).alias("is_match"),
     )
-    texts = sig.select("id", "text")
+    slow_pairs = est_pairs.filter((F.col("jacc_est") < fast_cut)
+                                  | F.col("jacc_est").isNull())
+    # Restrict the text attach to ids that actually appear in a slow-path
+    # pair BEFORE any join (guide §3.2 semi-join pre-filter): without
+    # this, once the pair side outgrows the broadcast threshold the
+    # attach is planned as a sort-merge join that shuffles the ENTIRE
+    # corpus texts table — measured 0.61 GB written / 1.30 GB read at the
+    # 3.2M-page constant-family rehearsal, the single largest
+    # super-linear step in the doubling measurement. The semi's build
+    # side is the distinct slow-pair id set (8-byte longs), broadcast at
+    # plan time — see attach_estimates for why runtime-adaptive is too
+    # late; the same 512M-row/8GB bound applies. Pure filter: join
+    # results are unchanged.
+    need = (slow_pairs.select(F.col("id_a").alias("id"))
+            .unionByName(slow_pairs.select(F.col("id_b").alias("id")))
+            .distinct())
+    texts = sig.select("id", "text").join(F.broadcast(need), "id",
+                                          "left_semi")
     slow = (
-        est_pairs.filter((F.col("jacc_est") < fast_cut)
-                         | F.col("jacc_est").isNull())
+        slow_pairs
         .join(texts.withColumnsRenamed({"id": "id_a", "text": "_ta"}), "id_a")
         .join(texts.withColumnsRenamed({"id": "id_b", "text": "_tb"}), "id_b")
     )
