@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # dup-injected pages: Spark + SQL twins
@@ -353,17 +353,26 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream exchange moves 16 B keys, not ~90-130 B string pairs
     tri = tri0.select(F.xxhash64("url").alias("id"),
                       F.xxhash64("shingle").alias("sh"))
-    urls = (tri0.select("url").distinct()
-            .select(F.xxhash64("url").alias("id"), "url"))
-    # global shingle frequency joined onto the index, then ONE grouping
-    # builds, per doc: the full shingle-hash set (verification payload)
-    # AND its prefix — the rarest n - ceil(n/2) + 1 hashes (t = 0.5) by
-    # (df, sh) order, via sort_array over (df, sh) structs + slice. No
-    # window/rank machinery: the per-doc sort rides the same aggregation
-    # the verification payload needs anyway.
-    freq = tri.groupBy("sh").agg(F.count("*").alias("df"))
+    # id -> url map straight from the (url-unique) source projection — NOT
+    # from tri0, whose explode+distinct subtree would otherwise be planned
+    # a second time just to recover the url column
+    urls = (
+        dpages(spark, sf_dir).filter(F.col("text").isNotNull())
+        .select("url", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(F.xxhash64("url").alias("id"), "url")
+    )
+    # global shingle frequency via a count window over the SAME key the
+    # aggregation would shuffle on (guide §2.4: window keyed like the
+    # preceding aggregation shares its exchange): one scan + one exchange
+    # of tri, where the former groupBy+join form planned the tri subtree
+    # twice and added a join. Then ONE grouping builds, per doc: the full
+    # shingle-hash set (verification payload) AND its prefix — the rarest
+    # n - ceil(t*n) + 1 hashes (t = 0.5) by (df, sh) order, via sort_array
+    # over (df, sh) structs + slice. No rank machinery: the per-doc sort
+    # rides the same aggregation the verification payload needs anyway.
     docs = (
-        tri.join(freq, "sh")
+        tri.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
         .groupBy("id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("_q"),
              F.count("*").alias("n"))
@@ -1412,20 +1421,18 @@ def _simhash_band_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
         .agg(F.sort_array(F.collect_list("url")).alias("urls"))
         .localCheckpoint(eager=False)  # consumed by 3 subtrees
     )
-    # within-group pairs: identical simhash => hamming 0; sorted array =>
-    # canonical url_a < url_b via posexplode + slice (no per-element lambda)
-    within = (
-        groups.filter(F.size("urls") > 1)
-        .select(F.posexplode("urls").alias("_i", "url_a"), "urls")
-        .select(
-            "url_a",
-            F.explode(F.slice("urls", F.col("_i") + 2, F.size("urls"))
-                      ).alias("url_b"),
-            F.lit(0).alias("hamming"),
-        )
-    )
+    # ONE pair stream for both the within-group (identical simhash,
+    # hamming 0) and cross-group cases: the rep-level chunk join keeps
+    # a.simhash <= b.simhash, where the EQUAL case is admitted only for
+    # groups with >1 member (singletons cannot pair with themselves).
+    # Splitting within/cross into separate subtrees + union was measured
+    # as pure plan depth at catalog scale — the fused form plans the
+    # expansion joins once, and the within pairs fall out of the same
+    # double explode with the canonical order enforced by _u1 < _u2 on
+    # the (sorted) identical arrays.
     bands = groups.select(
         "simhash",
+        F.size("urls").alias("_n"),
         F.explode(F.array(*[
             F.xxhash64(F.lit(i),
                        F.shiftrightunsigned("simhash", 16 * i)
@@ -1436,25 +1443,28 @@ def _simhash_band_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     rep_pairs = (
         a.join(b, "block_key")
-        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .filter((F.col("a.simhash") < F.col("b.simhash"))
+                | ((F.col("a.simhash") == F.col("b.simhash"))
+                   & (F.col("a._n") > 1)))
         .select(F.col("a.simhash").alias("_sa"), F.col("b.simhash").alias("_sb"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(
                     F.col("b.simhash"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    cross = (
+    return (
         rep_pairs
         .join(groups.withColumnsRenamed({"simhash": "_sa", "urls": "_ua"}),
               "_sa")
         .join(groups.withColumnsRenamed({"simhash": "_sb", "urls": "_ub"}),
               "_sb")
-        .select(F.explode("_ua").alias("_u1"), "_ub", "hamming")
-        .select("_u1", F.explode("_ub").alias("_u2"), "hamming")
+        .select(F.explode("_ua").alias("_u1"), "_ub", "hamming",
+                (F.col("_sa") == F.col("_sb")).alias("_same"))
+        .select("_u1", F.explode("_ub").alias("_u2"), "hamming", "_same")
+        .filter(~F.col("_same") | (F.col("_u1") < F.col("_u2")))
         .select(F.least("_u1", "_u2").alias("url_a"),
                 F.greatest("_u1", "_u2").alias("url_b"), "hamming")
     )
-    return within.unionByName(cross)
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1476,10 +1486,12 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     does — noted, not needed at catalog scale."""
     from ..functions.udfs import signatures_udf
 
+    # no checkpoint: _simhash_band_pairs consumes sig exactly once (the
+    # groupBy); persisting the UDF output here bought nothing and cost the
+    # block-manager write (inv_simhash_recall, with TWO consumers, keeps it)
     sig = (_spread(dpages(spark, sf_dir).filter(F.col("text").isNotNull()))
            .withColumn("sig", signatures_udf(F.col("text")))
-           .select("url", F.col("sig.simhash").alias("simhash"))
-           .localCheckpoint(eager=False))
+           .select("url", F.col("sig.simhash").alias("simhash")))
     return _simhash_band_pairs(sig, SIMHASH_DUP_HAMMING)
 
 
