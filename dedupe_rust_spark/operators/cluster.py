@@ -241,7 +241,17 @@ def propagate_to_members(rep_labels: DataFrame, ex_map: DataFrame,
     (cluster_id = lexicographic min member url, reference main.rs:310-315)
     is independent of how ids order. Urls whose final cluster has a single
     member are dropped (duplicate groups have >= 2, main.rs:418-421).
+
+    Shuffle shape (round 6): the two corpus-sized intermediates each have
+    TWO consumers — ex_map feeds the root set AND the member labeling;
+    labeled feeds the min-url aggregation AND the final label join — so
+    each is materialized once via lazy localCheckpoint. Without it the
+    planner re-plans (and re-shuffles) the whole subtree per consumer:
+    measured at the 3.2M-page constant-family rehearsal, the clusters
+    stage carried 964 MB of shuffle across 10 Exchanges, ~2x the
+    single-planning cost (OPTIMIZATION_r06.md).
     """
+    ex_map = ex_map.localCheckpoint(eager=False)
     root_label = ex_map.select(F.col("root_id").alias("node")).distinct().join(
         rep_labels.withColumnsRenamed({"cluster_id": "_cc"}), "node", "left"
     ).select(F.col("node").alias("root_id"),
@@ -250,6 +260,7 @@ def propagate_to_members(rep_labels: DataFrame, ex_map: DataFrame,
         ex_map.join(root_label, "root_id")
         .join(id_urls, "id")
         .select("url", "label_id")
+        .localCheckpoint(eager=False)
     )
     # one aggregation computes the min-url label AND the >=2-member filter
     groups = (

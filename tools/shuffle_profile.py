@@ -3,7 +3,7 @@ given page count with the UI on, then dump every Spark stage's
 (write/read bytes, records, name) sorted by write bytes — the auditable
 evidence behind BENCH/BASELINE.md's shuffle-volume claims.
 
-Usage: SPARK_GRAFT_CPUS=32 python tools/shuffle_profile.py [n_rows]
+Usage: SPARK_GRAFT_CPUS=32 python tools/shuffle_profile.py [n_rows] [--constant-family]
 """
 
 from __future__ import annotations
@@ -19,14 +19,17 @@ os.environ["SPARK_GRAFT_UI"] = "1"
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 400000
+    cf = "--constant-family" in sys.argv
 
     from dedupe_rust_spark.datagen import pages_dir_for
     from dedupe_rust_spark.plans.pipeline import DedupPipeline, PipelineConfig
     from dedupe_rust_spark.session import get_spark
 
     spark = get_spark(app="shuffle_profile")
-    pages_dir = pages_dir_for("/root/testdata/sf0.1", n_rows=n_rows)
+    pages_dir = pages_dir_for("/root/testdata/sf0.1", n_rows=n_rows,
+                              constant_family=cf)
     pipe = DedupPipeline(spark, pages_dir,
                          config=PipelineConfig(checkpoints=False))
     clusters = pipe.run()
