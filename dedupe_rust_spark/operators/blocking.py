@@ -82,7 +82,19 @@ def exact_representatives(sig: DataFrame,
     Plan shape: HashAggregate(min(id)) + a long-keyed hash join that
     recovers the representative's row (id = root_id) — no corpus sort.
     first_line is computed BEFORE any shuffle so the full text never rides
-    one (title_blocks needs only the first line)."""
+    one (title_blocks needs only the first line).
+
+    The root-id side is broadcast AT PLAN TIME (round 6): it is a bare
+    8-byte-long column (~8 MB per 10^6 distinct texts), while the lean
+    side still carries bands/url/host (~400 B/row) — left to the
+    planner's size estimate, the join flips to sort-merge once the
+    aggregated roots outgrow the broadcast threshold and the ENTIRE lean
+    corpus is exchanged on id: measured 2.4 GiB of shuffle appearing
+    between the 3.2M- and 6.4M-page constant-family rehearsals, the
+    single largest super-linear step (OPTIMIZATION_r06.md). Bound: the
+    id set must fit a broadcast relation (512M rows / 8 GB); past that,
+    drop the hint and the join degrades to the sort-merge exchange —
+    the same documented bound as the scoring attach pre-filters."""
     lean = sig.select(
         "text_sha256", "id", "url", "host",
         _first_line(F.col("text")).alias("first_line"), "bands",
@@ -90,7 +102,7 @@ def exact_representatives(sig: DataFrame,
     if roots is None:
         roots = exact_roots(sig)
     return lean.join(
-        roots.select(F.col("root_id").alias("id")), "id"
+        F.broadcast(roots.select(F.col("root_id").alias("id"))), "id"
     )
 
 
