@@ -331,7 +331,13 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle strings — the pipeline's key discipline; urls are joined
     back only for the surviving pairs. Measured at sf0.1: indexed rows
     321,465 -> 165,399; inverted-index join output 1,993,544 -> 658,790
-    rows (597k distinct candidates verified; OPTIMIZATION_r06.md)."""
+    rows (597k distinct candidates verified; OPTIMIZATION_r06.md).
+
+    Known engine-boundary caveat (r5 advice, accepted): Java regex \\s
+    includes \\x0B (vertical tab) while DuckDB's RE2 \\s does not, so a
+    corpus containing \\x0B whitespace would shingle differently in the
+    two engines; the oracle corpus never does (gate green), and aligning
+    the patterns would require editing the frozen oracle SQL text."""
     tri0 = (
         _spread(dpages(spark, sf_dir).filter(F.col("text").isNotNull()))
         .select("url", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
