@@ -385,9 +385,16 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id", "n",
             F.transform("_q", lambda x: x["sh"]).alias("shs"),
-            F.slice(F.transform("_q", lambda x: x["sh"]), F.lit(1),
-                    (F.col("n") - F.ceil(F.col("n") / 2) + 1).cast("int")
-                    ).alias("_pref"),
+            # slice FIRST, then project sh: transforms only the ~n/2
+            # prefix elements instead of materializing a second full
+            # per-doc array to slice (elementwise op, so slice∘transform
+            # ≡ transform∘slice — output unchanged)
+            F.transform(
+                F.slice("_q", F.lit(1),
+                        (F.col("n") - F.ceil(F.col("n") / 2) + 1)
+                        .cast("int")),
+                lambda x: x["sh"],
+            ).alias("_pref"),
         )
         # three consumers (prefix index + both verification joins):
         # materialize once, lazily
