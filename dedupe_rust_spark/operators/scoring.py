@@ -56,7 +56,8 @@ def minhash_jaccard_expr(mh_a, mh_b):
     return (agree.cast("double") / F.lit(float(MINHASH_K)))
 
 
-def attach_estimates(pairs: DataFrame, sig: DataFrame) -> DataFrame:
+def attach_estimates(pairs: DataFrame, sig: DataFrame,
+                     prefilter: bool = True) -> DataFrame:
     """pairs + JVM-side MinHash-Jaccard estimate: (id_a, id_b, jacc_est).
 
     The signature arrays are DROPPED in the same projection — they never
@@ -79,13 +80,19 @@ def attach_estimates(pairs: DataFrame, sig: DataFrame) -> DataFrame:
     after both child map stages have materialized). Bound: the id set
     must fit a broadcast relation (512M rows / 8 GB — ~500M distinct
     candidate ids); past that, drop the hint and this degrades to the
-    sort-merge attach. Pure filter: join results unchanged."""
+    sort-merge attach. Pure filter: join results unchanged.
+
+    prefilter=False skips the semi (callers that KNOW the whole minhash
+    table fits a broadcast, e.g. the pipeline below its row threshold:
+    the attach joins then broadcast sig directly and the pre-filter's
+    distinct + broadcast-build jobs are pure serial latency)."""
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
-    need = (pairs.select(F.col("id_a").alias("id"))
-            .unionByName(pairs.select(F.col("id_b").alias("id")))
-            .distinct())
-    mh = sig.select("id", "minhash").join(F.broadcast(need), "id",
-                                          "left_semi")
+    mh = sig.select("id", "minhash")
+    if prefilter:
+        need = (pairs.select(F.col("id_a").alias("id"))
+                .unionByName(pairs.select(F.col("id_b").alias("id")))
+                .distinct())
+        mh = mh.join(F.broadcast(need), "id", "left_semi")
     return (
         pairs
         .join(mh.withColumnsRenamed(
@@ -102,7 +109,8 @@ def attach_estimates(pairs: DataFrame, sig: DataFrame) -> DataFrame:
 def score_estimated(est_pairs: DataFrame, sig: DataFrame,
                     lev_match: float = LEV_MATCH,
                     jaccard_match: float = JACCARD_MATCH,
-                    compute_jw: bool = False) -> DataFrame:
+                    compute_jw: bool = False,
+                    prefilter: bool = True) -> DataFrame:
     """Fast/slow split on the estimate:
       * est >= max(refine_hi, jaccard_match): is_match is already
         decided TRUE (jaccard path; lev cannot flip a True) — no text
@@ -139,12 +147,15 @@ def score_estimated(est_pairs: DataFrame, sig: DataFrame,
     # side is the distinct slow-pair id set (8-byte longs), broadcast at
     # plan time — see attach_estimates for why runtime-adaptive is too
     # late; the same 512M-row/8GB bound applies. Pure filter: join
-    # results are unchanged.
-    need = (slow_pairs.select(F.col("id_a").alias("id"))
-            .unionByName(slow_pairs.select(F.col("id_b").alias("id")))
-            .distinct())
-    texts = sig.select("id", "text").join(F.broadcast(need), "id",
-                                          "left_semi")
+    # results are unchanged. prefilter=False skips it (see
+    # attach_estimates — small-corpus callers whose whole text table
+    # broadcasts anyway).
+    texts = sig.select("id", "text")
+    if prefilter:
+        need = (slow_pairs.select(F.col("id_a").alias("id"))
+                .unionByName(slow_pairs.select(F.col("id_b").alias("id")))
+                .distinct())
+        texts = texts.join(F.broadcast(need), "id", "left_semi")
     slow = (
         slow_pairs
         .join(texts.withColumnsRenamed({"id": "id_a", "text": "_ta"}), "id_a")
@@ -176,11 +187,13 @@ def score_estimated(est_pairs: DataFrame, sig: DataFrame,
 def score_candidates(pairs: DataFrame, sig: DataFrame,
                      lev_match: float = LEV_MATCH,
                      jaccard_match: float = JACCARD_MATCH,
-                     compute_jw: bool = False) -> DataFrame:
+                     compute_jw: bool = False,
+                     prefilter: bool = True) -> DataFrame:
     """attach_estimates + score_estimated in one call (the estimate table
     is lazily materialized since both branches of the split consume it)."""
-    est = attach_estimates(pairs, sig).localCheckpoint(eager=False)
-    return score_estimated(est, sig, lev_match, jaccard_match, compute_jw)
+    est = attach_estimates(pairs, sig, prefilter).localCheckpoint(eager=False)
+    return score_estimated(est, sig, lev_match, jaccard_match, compute_jw,
+                           prefilter)
 
 
 def match_edges(scores: DataFrame) -> DataFrame:

@@ -57,6 +57,18 @@ class PipelineConfig:
     # lineage, no cap census). Same results; resumability and fine-grained
     # metrics are OFF — use for benches, not production runs.
     checkpoints: bool = True
+    # corpus-row threshold for the scoring attach semi pre-filter
+    # (scoring.attach_estimates/score_estimated prefilter flag): below it
+    # the whole minhash/text projection fits the session's 64 MB broadcast
+    # threshold (~400 B per attach row -> ~150k rows), the attach joins
+    # broadcast sig directly, and the pre-filter's distinct +
+    # broadcast-build jobs are pure serial latency; at/above it the
+    # pre-filter is what keeps the attach from shuffling the corpus
+    # (measured at the 3.2M-page rehearsal). Scale-adaptive, not
+    # local-tuned: the decision input is the corpus row count the
+    # signatures stage already measures. Outputs identical either way
+    # (the pre-filter is a pure filter).
+    attach_prefilter_rows: int = 150_000
 
 
 def _audit_ids(sig: DataFrame) -> int:
@@ -255,15 +267,26 @@ class DedupPipeline:
             # per partition + drop accounting, written into metrics
             self._partition_lineage(sig, "signatures")
         # surrogate-id collision audit — UNCONDITIONAL (fast path included):
-        # a collision would silently merge clusters, so every run fails
-        # fast, matching the signatures.py docstring claim. One agg over
-        # the already-materialized sig (~0.1 s at 400k).
-        t0 = time.monotonic()
-        n_bad_ids = _audit_ids(sig)
-        self.stage_metrics.append(
-            {"stage": "id_audit", "rows_out": n_bad_ids,
-             "run_id": self.run_id,
-             "wall_ms": int((time.monotonic() - t0) * 1000)})
+        # a collision would silently merge clusters, so every run is
+        # gated on it, matching the signatures.py docstring claim. One
+        # agg over the already-materialized sig (~0.1 s at 400k). Round 6:
+        # the audit job is submitted from a driver THREAD (guide §2.6 —
+        # concurrent jobs back-fill executors) so its wall overlaps the
+        # blocking/candidates stages instead of adding a serial barrier;
+        # the future is resolved (raising on any collision) BEFORE
+        # clusters are returned, so no corrupt result can ever be
+        # observed — "fail fast" becomes "fail before any output".
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _audit() -> tuple[int, int]:
+            t0 = time.monotonic()
+            self.spark.sparkContext.setJobDescription("stage:id_audit")
+            n = _audit_ids(sig)
+            self.spark.sparkContext.setJobDescription(None)
+            return n, int((time.monotonic() - t0) * 1000)
+
+        audit_pool = ThreadPoolExecutor(max_workers=1)
+        audit_future = audit_pool.submit(_audit)
 
         roots = blocking.exact_roots(sig).localCheckpoint(eager=False)
         ex_map = blocking.exact_group_map(sig, roots)
@@ -285,15 +308,23 @@ class DedupPipeline:
                                      star_min_block=self.cfg.star_min_block)
         if self.cfg.simhash_prefilter:
             pairs = cand.simhash_prefilter(pairs, sig, self.cfg.max_hamming)
+        # semi pre-filter of the attach joins only when the corpus is big
+        # enough that the un-filtered attach would shuffle it (see
+        # PipelineConfig.attach_prefilter_rows); the row count is already
+        # measured by the signatures checkpoint — no extra job
+        n_sig = next((m["rows_out"] for m in self.stage_metrics
+                      if m["stage"] == "signatures"), 0)
+        prefilter = n_sig >= self.cfg.attach_prefilter_rows
         # the candidates checkpoint carries the MinHash-Jaccard estimate:
         # one materialization serves both the resume contract and the
         # fast/slow scoring split (both branches read it)
-        est = self._checkpoint(scoring.attach_estimates(pairs, sig),
-                               "candidates")
+        est = self._checkpoint(
+            scoring.attach_estimates(pairs, sig, prefilter), "candidates")
 
         scores = scoring.score_estimated(est, sig, self.cfg.lev_match,
                                          self.cfg.jaccard_match,
-                                         self.cfg.compute_jw)
+                                         self.cfg.compute_jw,
+                                         prefilter=prefilter)
         scores = self._checkpoint(scores, "scores")
 
         # Transitive closure runs over FUZZY edges between exact-group
@@ -311,6 +342,14 @@ class DedupPipeline:
             {"stage": "cc_loop", "rows_out": cc_stats.get("levels", -1),
              "run_id": self.run_id,
              "wall_ms": int((time.monotonic() - t0) * 1000)})
+        # gate on the concurrent id audit BEFORE materializing output:
+        # raises on any surrogate collision, so no corrupt clusters can
+        # be observed; wall_ms is the audit's own span (overlapped)
+        n_bad_ids, audit_ms = audit_future.result()
+        audit_pool.shutdown(wait=False)
+        self.stage_metrics.append(
+            {"stage": "id_audit", "rows_out": n_bad_ids,
+             "run_id": self.run_id, "wall_ms": audit_ms})
         clusters = self._checkpoint(labels, "clusters")
 
         self.stage_metrics.append(
